@@ -1,0 +1,90 @@
+"""Throughput benchmark: rays/s through the full render path on one chip.
+
+The reference publishes no throughput numbers (BASELINE.md); this harness
+establishes them. It builds the full-size model (gens.conf dims: 5-view
+volume cascade 256³..16³, 128-wide SDF MLP, 64+64 samples with 4 up-sample
+rounds), constructs a scene once, then times jit-compiled `render` calls on
+fixed-size ray batches.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to NOMINAL_BASELINE, the first number this
+harness recorded on a v5e chip (there is no reference throughput to compare
+against — SURVEY.md §6).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# First number recorded by this harness (round 1, TPU v5e, 1024-ray batches).
+# Kept fixed so later rounds report speedup against it.
+NOMINAL_BASELINE_RAYS_PER_S = 25000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gens_tpu.config import Config
+    from gens_tpu.data.synthetic import make_scene
+    from gens_tpu.models.gens import GenSModel
+
+    cfg = Config()
+    n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
+    hw = (480, 640)
+    n_rays = 1024
+
+    model = GenSModel(cfg.model)
+    params = model.init_params(jax.random.PRNGKey(0), n_src_views=n_views - 1)
+
+    raw = make_scene(n_views=n_views, hw=hw, n_rays=n_rays)
+    inputs = {k: jnp.asarray(v) for k, v in raw.items() if k != "radius"}
+
+    # Build the scene (feature extraction + volume cascade + 3D U-Net) once,
+    # as validation does per scene.
+    build = jax.jit(lambda p, i: model.build_scene(p, i["imgs"], i["intrs"],
+                                                   i["c2ws"]))
+    t0 = time.time()
+    scene = build(params, inputs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(scene.volumes))
+    build_time = time.time() - t0
+
+    @jax.jit
+    def render(params, scene, rays_o, rays_d, near, far):
+        return model.renderer.render(
+            params, rays_o, rays_d, near, far, scene,
+            cos_anneal_ratio=1.0, use_match_features=False,
+            key=jax.random.PRNGKey(0), train=False)
+
+    args = (params, scene, inputs["rays_o"], inputs["rays_d"],
+            inputs["near"], inputs["far"])
+
+    t0 = time.time()
+    out = render(*args)
+    jax.block_until_ready(out)
+    compile_time = time.time() - t0
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        out = render(*args)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    rays_per_s = n_rays * iters / dt
+    result = {
+        "metric": "render_rays_per_s_per_chip",
+        "value": round(float(rays_per_s), 1),
+        "unit": "rays/s",
+        "vs_baseline": round(float(rays_per_s / NOMINAL_BASELINE_RAYS_PER_S), 3),
+    }
+    print(json.dumps(result))
+    print(f"# scene build {build_time:.1f}s, render compile {compile_time:.1f}s, "
+          f"steady-state {dt / iters * 1e3:.1f} ms / {n_rays} rays",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

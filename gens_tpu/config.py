@@ -1,0 +1,243 @@
+"""Typed configuration tree for gens_tpu.
+
+Replaces the reference's pyhocon HOCON files (/root/reference/confs/gens.conf)
+with plain dataclasses + a JSON/YAML loader and dotted-path CLI overrides.
+Defaults reproduce the reference's published DTU recipe
+(/root/reference/confs/gens.conf:1-101).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class FeatureNetConfig:
+    # per-scale output channels, fine-to-coarse (reference confs/gens.conf:64)
+    d_out: Tuple[int, ...] = (4, 4, 4, 4, 4)
+    # encoder channels per stride stage (strides 2, 4, 8, 16, 32)
+    d_enc: Tuple[int, ...] = (16, 24, 40, 96, 160)
+    norm: str = "instance"
+
+
+@dataclass
+class VolumeConfig:
+    # cascade resolutions, fine-to-coarse (reference confs/gens.conf:67)
+    volume_dims: Tuple[int, ...] = (256, 128, 64, 32, 16)
+    # a voxel is valid if seen by strictly more than this many views
+    # (reference models/modules/volume.py:58)
+    min_vis_view: int = 1
+
+
+@dataclass
+class RegNetConfig:
+    # raw volume channels per scale = 2 * feature channels (mean+var)
+    d_volume: Tuple[int, ...] = (8, 8, 8, 8, 8)
+    d_out: Tuple[int, ...] = (4, 4, 4, 4, 4)
+    d_base: int = 8
+
+
+@dataclass
+class SDFNetConfig:
+    d_in: int = 3
+    d_out: int = 129  # 1 sdf + 128 latent
+    d_hidden: int = 128
+    n_layers: int = 6
+    skip_in: Tuple[int, ...] = (3,)
+    multires: int = 4
+    bias: float = 0.5
+    scale: float = 1.0
+    geometric_init: bool = True
+    weight_norm: bool = True
+    inside_outside: bool = False
+    feat_channels: int = 20  # 5 scales x 4 channels of volume features
+    feat_multires: int = 2
+
+
+@dataclass
+class BlendingNetConfig:
+    d_feature: int = 20
+    anti_alias_pooling: bool = True
+
+
+@dataclass
+class VarianceConfig:
+    init_val: float = 0.3
+
+
+@dataclass
+class RenderConfig:
+    n_samples: int = 64
+    n_importance: int = 64
+    up_sample_steps: int = 4
+    perturb: float = 1.0
+    # MFC patch warp
+    patch_size: int = 11
+    # number of feature scales stacked for the patch warp (scales 0..k-1)
+    warp_scales: int = 3
+    # number of random points for the sparse SDF regularizer
+    n_sparse_pts: int = 1024
+
+
+@dataclass
+class ModelConfig:
+    feature_network: FeatureNetConfig = field(default_factory=FeatureNetConfig)
+    volume: VolumeConfig = field(default_factory=VolumeConfig)
+    reg_network: RegNetConfig = field(default_factory=RegNetConfig)
+    sdf_network: SDFNetConfig = field(default_factory=SDFNetConfig)
+    color_network: BlendingNetConfig = field(default_factory=BlendingNetConfig)
+    variance_network: VarianceConfig = field(default_factory=VarianceConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    # sync cadence (epochs) of the frozen matching feature net
+    # (reference models/gens.py:133-138)
+    match_sync_every: int = 5
+
+
+@dataclass
+class LossConfig:
+    color_weight: float = 1.0
+    sparse_weight: float = 0.02
+    igr_weight: float = 0.1
+    sparse_scale_factor: float = 100.0
+    mfc_weight: float = 1.0
+    smooth_weight: float = 1e-4
+    tv_weight: float = 1e-4
+    depth_weight: float = 0.0
+    pseudo_sdf_weight: float = 1.0
+    pseudo_depth_weight: float = 0.05
+
+
+@dataclass
+class DatasetConfig:
+    dataset_name: str = "dtu"
+    data_dir: str = ""
+    split: Optional[str] = "train"
+    scene: Optional[Tuple[str, ...]] = None
+    light_idx: Optional[Tuple[int, ...]] = (3,)
+    ref_view: Optional[Tuple[int, ...]] = None
+    num_src_view: int = 4
+    factor: float = 1.0
+    interval_scale: float = 1.0
+    num_interval: int = 192
+    img_hw: Tuple[int, int] = (480, 640)
+    n_rays: int = 512
+    val_res_level: int = 4
+    n_pseudo_pts: int = 2048
+    # finetune-only
+    num_views: int = 3
+
+
+@dataclass
+class TrainConfig:
+    lr_feat: float = 1e-3
+    lr_mlp: float = 5e-4
+    # per-scale volume LRs for finetune mode (reference confs/gens_finetune.conf:22)
+    lr_vol: Tuple[float, ...] = (1e-4, 1e-3, 1e-3, 1e-2, 1e-2)
+    epochs: int = 50
+    anneal_end: float = 2.0
+    warmup: float = 1.0
+    alpha: float = 0.02
+    save_freq: float = 1.0
+    log_freq: float = 0.2
+    val_freq: float = 2.0
+    seed: int = 0
+    loss: LossConfig = field(default_factory=LossConfig)
+
+
+@dataclass
+class ParallelConfig:
+    # named mesh axes sizes; 1 = disabled.
+    data: int = 1
+    view: int = 1
+
+
+@dataclass
+class Config:
+    base_exp_dir: str = "./exp"
+    mode: str = "train"  # train | val | finetune
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    train_dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    val_dataset: DatasetConfig = field(
+        default_factory=lambda: DatasetConfig(split="test", num_src_view=2, ref_view=(23,))
+    )
+    finetune_dataset: DatasetConfig = field(
+        default_factory=lambda: DatasetConfig(
+            split=None, scene=("scan24",), ref_view=(23,), num_views=3,
+            img_hw=(1152, 1600), factor=1.1
+        )
+    )
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    mesh_resolution: int = 512
+    clean_mesh: bool = False
+
+
+# ---------------------------------------------------------------------------
+# dict <-> dataclass plumbing
+
+
+def _from_dict(cls, data: Any):
+    if data is None:
+        return None
+    if dataclasses.is_dataclass(cls):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for key, value in data.items():
+            if key not in fields:
+                raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+            f = fields[key]
+            ftype = f.type if not isinstance(f.type, str) else None
+            default = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default  # type: ignore[misc]
+            if dataclasses.is_dataclass(default):
+                kwargs[key] = _from_dict(type(default), value)
+            elif isinstance(default, tuple) and isinstance(value, (list, tuple)):
+                kwargs[key] = tuple(value)
+            else:
+                kwargs[key] = value
+        return cls(**kwargs)
+    return data
+
+
+def config_from_dict(data: dict) -> Config:
+    return _from_dict(Config, data)
+
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def load_config(path: Optional[str] = None, overrides: Sequence[str] = ()) -> Config:
+    """Load a config from a JSON/YAML file plus dotted-path overrides.
+
+    Overrides look like ``train.epochs=10`` or ``model.render.n_samples=32``;
+    values are parsed as JSON when possible, else kept as strings.
+    """
+    data: dict = {}
+    if path is not None:
+        with open(path) as f:
+            text = f.read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+
+            data = yaml.safe_load(text)
+    cfg = config_from_dict(data)
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = cfg
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        cur = getattr(node, parts[-1])
+        if isinstance(cur, tuple) and isinstance(value, list):
+            value = tuple(value)
+        setattr(node, parts[-1], value)
+    return cfg

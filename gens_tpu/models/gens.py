@@ -1,0 +1,173 @@
+"""GenS model facade: owns the module definitions and exposes pure functions
+over parameter pytrees for the three regimes.
+
+Re-design of /root/reference/models/gens.py:12-157. The torch version keys
+its two regimes on a mutable ``has_vol`` flag; here they are simply
+different pure functions:
+
+* generalizable (train/val): ``build_scene`` runs feature net -> volume
+  aggregation -> 3D U-Net and returns a ``Scene``;
+* finetune: the volumes are leaves of the optimized pytree and the frozen
+  features/masks live in a static ``Scene`` (gens.py:26-28,147-153).
+
+The frozen matching feature network (gens.py:22-24,133-141) is a separate
+param subtree ``match_feature`` that the training loop re-syncs from
+``feature`` every ``match_sync_every`` epochs on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gens_tpu.config import ModelConfig
+from gens_tpu.models.blending_net import BlendingNetwork, SingleVarianceNetwork
+from gens_tpu.models.feature_net import FeatureNetwork
+from gens_tpu.models.reg_net import RegNetwork
+from gens_tpu.models.renderer import Renderer, Scene
+from gens_tpu.models.sdf_net import SDFNetwork
+from gens_tpu.models.volume import agg_mean_var
+
+
+class GenSModel:
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.feature_net = FeatureNetwork(cfg.feature_network)
+        self.reg_net = RegNetwork(cfg.reg_network)
+        self.sdf_net = SDFNetwork(cfg.sdf_network)
+        self.blending_net = BlendingNetwork(cfg.color_network)
+        self.variance_net = SingleVarianceNetwork(cfg.variance_network.init_val)
+        self.renderer = Renderer(
+            self.sdf_net, self.blending_net, self.variance_net, cfg.render)
+
+    # -- initialization ----------------------------------------------------
+
+    def init_params(self, key, n_src_views: int = 4) -> Dict[str, Any]:
+        kf, km, kr, ks, kb, kv = jax.random.split(key, 6)
+        dummy_imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        feature_params = self.feature_net.init(kf, dummy_imgs)
+
+        n_scales = len(self.cfg.volume.volume_dims)
+        c_feat = self.cfg.feature_network.d_out[0]
+        dummy_vols = [
+            jnp.zeros((64 >> i, 64 >> i, 64 >> i, 2 * c_feat), jnp.float32)
+            for i in range(n_scales)
+        ]
+        reg_params = self.reg_net.init(kr, [v[None] for v in dummy_vols])
+
+        c_out = self.cfg.reg_network.d_out[0]
+        dummy_ref_vols = [
+            jnp.zeros((4, 4, 4, c_out), jnp.float32) for _ in range(n_scales)
+        ]
+        sdf_params = self.sdf_net.init(ks, jnp.zeros((2, 3)), dummy_ref_vols)
+
+        d_feat_total = sum(self.cfg.reg_network.d_out)
+        blending_params = self.blending_net.init(
+            kb,
+            jnp.zeros((2, n_src_views, 3 + d_feat_total)),
+            jnp.zeros((2, n_src_views, 4)),
+            jnp.ones((2, n_src_views), bool),
+        )
+        variance_params = self.variance_net.init(kv)
+
+        return {
+            "feature": feature_params,
+            "match_feature": jax.tree.map(jnp.copy, feature_params),
+            "reg": reg_params,
+            "sdf": sdf_params,
+            "blending": blending_params,
+            "variance": variance_params,
+        }
+
+    # -- scene construction (generalizable regime) -------------------------
+
+    def extract_features(self, params, imgs, match: bool = False):
+        sub = params["match_feature" if match else "feature"]
+        feats = self.feature_net.apply(sub, imgs)
+        return jax.lax.stop_gradient(feats) if match else feats
+
+    def build_volumes(self, params, features, intrs, c2ws,
+                      axis_name: Optional[str] = None,
+                      view_valid: Optional[jnp.ndarray] = None):
+        raw_vols, mask_vols = agg_mean_var(
+            features, intrs, c2ws, self.cfg.volume.volume_dims,
+            min_vis_view=self.cfg.volume.min_vis_view,
+            axis_name=axis_name, view_valid=view_valid)
+        reg_out = self.reg_net.apply(params["reg"], [v[None] for v in raw_vols])
+        volumes = [v[0] for v in reg_out]
+        return volumes, mask_vols
+
+    def build_scene(self, params, imgs, intrs, c2ws,
+                    axis_name: Optional[str] = None,
+                    view_valid: Optional[jnp.ndarray] = None) -> Scene:
+        features = self.extract_features(params, imgs)
+        match_features = self.extract_features(params, imgs, match=True)
+        volumes, mask_vols = self.build_volumes(
+            params, features, intrs, c2ws, axis_name, view_valid)
+        return Scene(
+            volumes=volumes, mask_volumes=mask_vols, features=features,
+            match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws)
+
+    # -- forward -----------------------------------------------------------
+
+    def forward_train(self, params, inputs: Dict, cos_anneal_ratio,
+                      use_match_features: bool, key,
+                      axis_name: Optional[str] = None) -> Dict:
+        """One training forward: build scene + render the ray batch.
+
+        inputs: imgs (V,H,W,3), intrs (V,3,3), c2ws (V,4,4), rays_o/rays_d
+        (R,3), near/far (R,1) or (1,1), optional pseudo_pts (P,3).
+        """
+        scene = self.build_scene(
+            params, inputs["imgs"], inputs["intrs"], inputs["c2ws"],
+            axis_name=axis_name)
+        outputs = self.renderer.render(
+            params, inputs["rays_o"], inputs["rays_d"],
+            inputs["near"], inputs["far"], scene,
+            cos_anneal_ratio=cos_anneal_ratio,
+            use_match_features=use_match_features, key=key, train=True)
+        if "pseudo_pts" in inputs:
+            outputs["pseudo_sdf"] = self.renderer.pseudo_sdf(
+                params, scene, inputs["pseudo_pts"])
+        return outputs
+
+    # -- finetune regime (volumes as parameters, gens.py:63-85) ------------
+
+    def init_volumes(self, params, imgs, intrs, c2ws):
+        """One-shot volume build from ALL scene views; returns the pieces
+        that become the finetune state: trainable volumes + frozen masks and
+        features (reference init_volumes, gens.py:63-85)."""
+        features = self.extract_features(params, imgs)
+        volumes, mask_vols = self.build_volumes(params, features, intrs, c2ws)
+        volumes = [jax.lax.stop_gradient(v) for v in volumes]
+        features = [jax.lax.stop_gradient(f) for f in features]
+        return volumes, mask_vols, features
+
+    def forward_finetune(self, ft_params, static: Dict, inputs: Dict,
+                         cos_anneal_ratio, key) -> Dict:
+        """ft_params: {'volumes': [...], 'sdf', 'blending', 'variance'};
+        static: {'mask_volumes': [...], 'features': [...]} (frozen).
+
+        Per-step view subset selection (gens.py:148-153): features are
+        gathered by ``inputs['view_ids']``.
+        """
+        view_ids = inputs["view_ids"]
+        features = [jnp.take(f, view_ids, axis=0) for f in static["features"]]
+        scene = Scene(
+            volumes=ft_params["volumes"],
+            mask_volumes=static["mask_volumes"],
+            features=features,
+            match_features=features,
+            imgs=inputs["imgs"], intrs=inputs["intrs"], c2ws=inputs["c2ws"])
+        params = {k: ft_params[k] for k in ("sdf", "blending", "variance")}
+        outputs = self.renderer.render(
+            params, inputs["rays_o"], inputs["rays_d"],
+            inputs["near"], inputs["far"], scene,
+            cos_anneal_ratio=cos_anneal_ratio,
+            use_match_features=True, key=key, train=True)
+        if "pseudo_pts" in inputs:
+            outputs["pseudo_sdf"] = self.renderer.pseudo_sdf(
+                params, scene, inputs["pseudo_pts"])
+        return outputs

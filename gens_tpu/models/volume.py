@@ -1,0 +1,128 @@
+"""Cascaded global feature-volume construction by cross-view mean/variance
+aggregation.
+
+Re-design of /root/reference/models/modules/volume.py:13-63 (``agg_mean_var``):
+for each cascade scale, voxel centers of a [-1,1]^3 grid are projected into
+every view with scale-adjusted intrinsics, view features are bilinearly
+sampled, and per-voxel masked mean + variance across views form the raw
+volume; a voxel is valid when seen by strictly more than ``min_vis_view``
+views (volume.py:58).
+
+Distribution: the aggregation is expressed as three sums —
+``psum(f·m), psum(f²·m), psum(m)`` — so sharding the VIEW axis over a device
+mesh is a lossless all-reduce (SURVEY.md §2.3). Pass ``axis_name`` inside a
+``shard_map`` to enable it; padded views with mask=0 contribute nothing, so
+uneven view counts pad cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gens_tpu.ops.interp import bilerp
+from gens_tpu.ops.projection import scale_intrinsics
+
+
+def voxel_grid(dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(dim³, 3) voxel-center xyz coordinates of an align-corners grid over
+    [-1,1]³, x fastest-varying last (meshgrid 'ij' on (x,y,z) like
+    volume.py:28-30)."""
+    r = jnp.linspace(-1.0, 1.0, dim, dtype=dtype)
+    gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
+                    dim: int, scale_idx: int, min_vis_view: int = 1,
+                    axis_name: Optional[str] = None,
+                    view_valid: Optional[jnp.ndarray] = None):
+    """One cascade scale.
+
+    feat: (V, H_i, W_i, C) view features at scale ``scale_idx``;
+    intrs: (V, 3, 3) finest-scale intrinsics; c2ws: (V, 4, 4).
+    ``view_valid``: optional (V,) 0/1 mask for padded views when the view
+    axis is sharded.
+
+    Returns ``volume (dim, dim, dim, 2C)`` (mean ‖ var) and
+    ``mask (dim, dim, dim)`` float.
+    """
+    V, H, W, C = feat.shape
+    pts = voxel_grid(dim, feat.dtype)  # (N, 3)
+    intrs_i = scale_intrinsics(intrs, scale_idx)
+
+    def warp_one(feat_v, intr_v, c2w_v):
+        with jax.default_matmul_precision("highest"):
+            w2c = jnp.linalg.inv(c2w_v)
+            cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            uvw = cam @ intr_v.T
+        xy = uvw[:, :2] / (uvw[:, 2:] + 1e-8)
+        # in-image test in normalized coords (volume.py:43): |norm| <= 1 and
+        # depth > 0 (slightly wider than a strict pixel-box test)
+        nx = xy[:, 0] / ((W - 1) / 2.0) - 1.0
+        ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
+        mask = (jnp.abs(nx) <= 1) & (jnp.abs(ny) <= 1) & (cam[:, 2] > 0)
+        vals = bilerp(feat_v, xy)  # (N, C), zero outside
+        return vals, mask.astype(feat.dtype)
+
+    # Accumulate over views with a scan rather than a vmap: at 256³ x 5
+    # views the per-corner gather buffers of a vmapped bilerp would hold
+    # V x N x C floats several times over and blow HBM; the scan bounds the
+    # peak to ONE view's gathers while XLA still pipelines the loop.
+    N = pts.shape[0]
+    valid = (jnp.ones((V,), feat.dtype) if view_valid is None
+             else view_valid.astype(feat.dtype))
+
+    def body(carry, xs):
+        s, ss, ms = carry
+        feat_v, intr_v, c2w_v, valid_v = xs
+        vals, mask = warp_one(feat_v, intr_v, c2w_v)
+        mask = mask * valid_v
+        vm = vals * mask[..., None]
+        return (s + vm, ss + vm ** 2, ms + mask), None
+
+    init = (jnp.zeros((N, C), feat.dtype), jnp.zeros((N, C), feat.dtype),
+            jnp.zeros((N,), feat.dtype))
+    if axis_name is not None:
+        # under shard_map the scanned-over view tensors are device-varying;
+        # the zero carry must be marked varying too (shard_map vma typing)
+        init = jax.tree.map(lambda x: jax.lax.pvary(x, (axis_name,)), init)
+    (warp_sum, warp_sq_sum, mask_sum), _ = jax.lax.scan(
+        body, init, (feat, intrs_i, c2ws, valid))
+
+    if axis_name is not None:
+        warp_sum = jax.lax.psum(warp_sum, axis_name)
+        warp_sq_sum = jax.lax.psum(warp_sq_sum, axis_name)
+        mask_sum = jax.lax.psum(mask_sum, axis_name)
+
+    denom = jnp.where(mask_sum <= 0, 1e-8, mask_sum)[..., None]
+    mean = warp_sum / denom
+    var = warp_sq_sum / denom - mean ** 2
+
+    volume = jnp.concatenate([mean, var], axis=-1).reshape(dim, dim, dim, 2 * C)
+    mask_volume = (mask_sum > min_vis_view).astype(feat.dtype).reshape(dim, dim, dim)
+    return volume, mask_volume
+
+
+def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
+                 c2ws: jnp.ndarray, volume_dims: Sequence[int],
+                 min_vis_view: int = 1, axis_name: Optional[str] = None,
+                 view_valid: Optional[jnp.ndarray] = None
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Build the full cascade. ``features[i]``: (V, H_i, W_i, C) fine-to-coarse.
+
+    Returns (volumes, mask_volumes): ``volumes[i]`` is
+    ``(dim_i, dim_i, dim_i, 2C)``, ``mask_volumes[i]`` is ``(dim_i,)*3``.
+    """
+    volumes, masks = [], []
+    for i, dim in enumerate(volume_dims):
+        vol, m = aggregate_scale(
+            features[i], intrs, c2ws, dim, i,
+            min_vis_view=min_vis_view, axis_name=axis_name,
+            view_valid=view_valid,
+        )
+        volumes.append(vol)
+        masks.append(m)
+    return volumes, masks

@@ -1,0 +1,195 @@
+"""Multi-chip training: shard_map over a named ('data', 'view') mesh.
+
+This replaces the reference's DDP story (utils/distribute.py + NCCL,
+SURVEY.md §2.3) and adds the axes the torch code never had:
+
+* ``data`` axis — one scene per shard, gradients pmean-ed (DDP equivalent).
+* ``view`` axis — BOTH the source views and the ray batch of each scene are
+  sharded:
+    - feature extraction runs on local views only;
+    - volume aggregation uses the psum triplet (models/volume.py), which is
+      exactly the reference's masked mean/var (volume.py:49-55) distributed
+      losslessly;
+    - per-view features/images are all_gather-ed over ICI for the blending
+      and MFC paths;
+    - rendering runs on the local ray shard; every loss reduction is a
+      psum-ed (num, denom) pair (losses.py), so the loss value — and through
+      psum/all_gather transposes, the summed gradient — matches the
+      single-device computation exactly.
+
+View padding: V real views are padded to a multiple of the view-axis size;
+padded views carry ``view_valid = 0`` and contribute nothing to the
+aggregation (masked sums) and are sliced off after all_gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gens_tpu.config import Config
+from gens_tpu.losses import compute_losses
+from gens_tpu.models.gens import GenSModel
+from gens_tpu.models.renderer import Scene
+from gens_tpu.train.step import TrainState, make_optimizer
+
+
+def make_mesh(n_data: int, n_view: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_data * n_view, (
+        f"need {n_data * n_view} devices, have {len(devices)}")
+    dev = np.array(devices[: n_data * n_view]).reshape(n_data, n_view)
+    return Mesh(dev, ("data", "view"))
+
+
+def pad_views(inputs: Dict, n_view_shards: int) -> Tuple[Dict, int]:
+    """Pad the view axis (axis 1 of (B, V, ...) arrays) to a multiple of the
+    view-axis size; adds ``view_valid (B, V_pad)``. Returns (inputs, V_real)."""
+    imgs = inputs["imgs"]
+    B, V = imgs.shape[0], imgs.shape[1]
+    V_pad = -(-V // n_view_shards) * n_view_shards
+    out = dict(inputs)
+    if V_pad != V:
+        pad = V_pad - V
+        out["imgs"] = jnp.concatenate(
+            [imgs, jnp.zeros((B, pad) + imgs.shape[2:], imgs.dtype)], axis=1)
+        # pad cameras with identity-ish entries (never used: view_valid = 0)
+        eye3 = jnp.broadcast_to(jnp.eye(3), (B, pad, 3, 3))
+        eye4 = jnp.broadcast_to(jnp.eye(4), (B, pad, 4, 4))
+        out["intrs"] = jnp.concatenate([inputs["intrs"], eye3], axis=1)
+        out["c2ws"] = jnp.concatenate([inputs["c2ws"], eye4], axis=1)
+    valid = (jnp.arange(V_pad) < V).astype(jnp.float32)
+    out["view_valid"] = jnp.broadcast_to(valid, (B, V_pad))
+    return out, V
+
+
+def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
+                            n_views: int, steps_per_epoch: int = 1,
+                            use_pseudo: bool = False):
+    """Build the jit-compiled multi-chip training step.
+
+    Batch layout: every (B, ...) input has B == mesh 'data' size; views and
+    rays additionally shard over 'view'. Returns ``step_fn(state, inputs,
+    key, cos_anneal_ratio, use_match_features) -> (state, metrics)``.
+    """
+    optimizer = make_optimizer(cfg.train, steps_per_epoch)
+    n_view_shards = mesh.shape["view"]
+
+    def make_device_fn(use_match_features: bool):
+      def device_fn(params, opt_state, step, imgs, intrs, c2ws, view_valid,
+                    rays_o, rays_d, near, far, color, pseudo_pts, key,
+                    cos_anneal_ratio):
+          # local shards arrive with a leading data-block dim of 1 — drop it
+          imgs, intrs, c2ws = imgs[0], intrs[0], c2ws[0]
+          view_valid = view_valid[0]
+          rays_o, rays_d, color = rays_o[0], rays_d[0], color[0]
+          near, far = near[0], far[0]
+          pseudo_pts = pseudo_pts[0]
+
+          d_idx = jax.lax.axis_index("data")
+          v_idx = jax.lax.axis_index("view")
+          key = jax.random.fold_in(jax.random.fold_in(key, d_idx), v_idx)
+
+          def loss_fn(params):
+              # 1. local-view feature extraction
+              features = model.extract_features(params, imgs)
+              match_features = model.extract_features(params, imgs, match=True)
+
+              # 2. volume cascade: view-sharded psum aggregation + 3D U-Net
+              volumes, mask_vols = model.build_volumes(
+                  params, features, intrs, c2ws,
+                  axis_name="view", view_valid=view_valid)
+
+              # 3. gather per-view tensors for blending / MFC; drop padding
+              def gather_views(x):
+                  return jax.lax.all_gather(x, "view", axis=0,
+                                            tiled=True)[:n_views]
+
+              feats_full = [gather_views(f) for f in features]
+              match_full = [gather_views(f) for f in match_features]
+              imgs_full = gather_views(imgs)
+              intrs_full = gather_views(intrs)
+              c2ws_full = gather_views(c2ws)
+
+              scene = Scene(
+                  volumes=volumes, mask_volumes=mask_vols,
+                  features=feats_full, match_features=match_full,
+                  imgs=imgs_full, intrs=intrs_full, c2ws=c2ws_full)
+
+              # 4. render the LOCAL ray shard
+              outputs = model.renderer.render(
+                  params, rays_o, rays_d, near, far, scene,
+                  cos_anneal_ratio=cos_anneal_ratio,
+                  use_match_features=use_match_features, key=key, train=True)
+              if use_pseudo:
+                  outputs["pseudo_sdf"] = model.renderer.pseudo_sdf(
+                      params, scene, pseudo_pts)
+
+              targets = {"color": color}
+              losses = compute_losses(outputs, targets, cfg.train.loss,
+                                      axis_name="view")
+
+              # psnr over the full ray batch (psum pairs)
+              sq = jnp.sum((outputs["color_fine"] - color) ** 2)
+              cnt = jnp.asarray(color.size, jnp.float32)
+              mse = jax.lax.psum(sq, "view") / jax.lax.psum(cnt, "view")
+              losses["psnr"] = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+              return losses["loss"], losses
+
+          grads, metrics = jax.grad(loss_fn, has_aux=True)(params)
+          # scene-total gradient = sum of view-shard partials; DDP-style mean
+          # over scenes (data axis)
+          grads = jax.lax.pmean(jax.lax.psum(grads, "view"), "data")
+          metrics = jax.lax.pmean(metrics, "data")
+
+          updates, opt_state = optimizer.update(grads, opt_state, params)
+          params = optax.apply_updates(params, updates)
+          return params, opt_state, step + 1, metrics
+      return device_fn
+
+    data_sharded = P("data")
+    dv_sharded = P("data", "view")
+    in_specs = (
+        P(), P(), P(),            # params, opt_state, step (replicated)
+        dv_sharded, dv_sharded, dv_sharded, dv_sharded,  # imgs/intrs/c2ws/valid
+        dv_sharded, dv_sharded,   # rays_o, rays_d (rays sharded over view)
+        data_sharded, data_sharded,  # near, far
+        dv_sharded,               # color
+        dv_sharded,               # pseudo_pts
+        P(), P(),                 # key, anneal (replicated)
+    )
+    out_specs = (P(), P(), P(), P())
+
+    _sharded_cache = {}
+
+    def get_sharded(use_match_features: bool):
+        if use_match_features not in _sharded_cache:
+            _sharded_cache[use_match_features] = shard_map(
+                make_device_fn(use_match_features), mesh=mesh,
+                in_specs=in_specs, out_specs=out_specs)
+        return _sharded_cache[use_match_features]
+
+    @functools.partial(jax.jit, static_argnames=("use_match_features",))
+    def step_fn(state: TrainState, inputs: Dict, key, cos_anneal_ratio,
+                use_match_features: bool = False):
+        params, opt_state, step, metrics = get_sharded(use_match_features)(
+            state.params, state.opt_state, state.step,
+            inputs["imgs"], inputs["intrs"], inputs["c2ws"],
+            inputs["view_valid"],
+            inputs["rays_o"], inputs["rays_d"],
+            inputs["near"], inputs["far"], inputs["color"],
+            inputs.get("pseudo_pts",
+                       jnp.zeros((inputs["color"].shape[0],
+                                  mesh.shape["view"], 3))),
+            key, cos_anneal_ratio)
+        return TrainState(params, opt_state, step), metrics
+
+    return step_fn

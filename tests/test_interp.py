@@ -1,0 +1,142 @@
+"""Unit tests for gather+lerp interpolation vs torch.grid_sample ground truth.
+
+torch (CPU build) is available in the image; we use its grid_sample as the
+behavioral oracle for the reference semantics (align_corners=True, zeros
+padding), plus finite-difference checks to second order — the property the
+reference needed 723 lines of CUDA for.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gens_tpu.ops.interp import (
+    bilerp,
+    trilerp,
+    nearest3d,
+    lookup_volume_cascade,
+    lookup_mask_cascade,
+)
+
+
+def test_trilerp_matches_torch_grid_sample(rng):
+    X, Y, Z, C = 7, 6, 5, 4
+    vol = rng.randn(X, Y, Z, C).astype(np.float32)
+    pts = rng.uniform(-1.3, 1.3, size=(200, 3)).astype(np.float32)
+
+    ours = trilerp(jnp.asarray(vol), jnp.asarray(pts))
+
+    # torch: volume (1, C, D, H, W) with D=x, H=y, W=z; grid (x->W) so flip
+    # pts to zyx exactly as the reference does (projector.py:223).
+    tvol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]
+    tgrid = torch.from_numpy(pts[:, ::-1].copy())[None, None, None]  # (1,1,1,N,3)
+    ref = F.grid_sample(tvol, tgrid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)
+    ref = ref[0, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bilerp_matches_torch(rng):
+    H, W, C = 9, 11, 3
+    img = rng.randn(H, W, C).astype(np.float32)
+    xy = rng.uniform(-1.2, 1.2, size=(150, 2)).astype(np.float32)
+
+    ours = bilerp(jnp.asarray(img), jnp.asarray(xy), normalized=True)
+
+    timg = torch.from_numpy(img).permute(2, 0, 1)[None]
+    tgrid = torch.from_numpy(xy)[None, None]  # (1,1,N,2) x->W, y->H
+    ref = F.grid_sample(timg, tgrid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)[0, :, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bilerp_pixel_coords_identity(rng):
+    H, W, C = 5, 6, 2
+    img = rng.randn(H, W, C).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    xy = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    out = bilerp(jnp.asarray(img), jnp.asarray(xy))
+    np.testing.assert_allclose(np.asarray(out), img.reshape(-1, C), atol=1e-6)
+
+
+def test_nearest3d_matches_torch(rng):
+    X = Y = Z = 6
+    vol = rng.rand(X, Y, Z, 1).astype(np.float32)
+    # keep away from .5 rounding boundaries to dodge tie-breaking conventions
+    pts = (rng.randint(0, X, size=(100, 3)).astype(np.float32) / (X - 1)) * 2 - 1
+    pts += rng.uniform(-0.3, 0.3, size=pts.shape).astype(np.float32) * (2 / (X - 1)) * 0.4
+
+    ours = nearest3d(jnp.asarray(vol), jnp.asarray(pts))
+
+    tvol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]
+    tgrid = torch.from_numpy(pts[:, ::-1].copy())[None, None, None]
+    ref = F.grid_sample(tvol, tgrid, mode="nearest", padding_mode="zeros",
+                        align_corners=True)[0, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
+
+
+def test_trilerp_grads_to_second_order(rng):
+    # grad-of-grad w.r.t. the VOLUME through a nonlinear wrapper must match
+    # finite differences — the property the reference needed a custom CUDA
+    # double-backward kernel for (gridsample_cuda.cu).
+    X = Y = Z = 4
+    vol = jnp.asarray(rng.randn(X, Y, Z, 1).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.7, 0.7, size=(6, 3)).astype(np.float32))
+
+    @jax.jit
+    def loss(v, p):
+        # nonlinear in both the sampled value and the point-gradient, so the
+        # second-order path through trilerp is exercised
+        g = jax.grad(lambda q: trilerp(v, q).sum())(p)
+        return jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    analytic = jax.jit(jax.grad(loss))(vol, pts)  # d(eikonal)/d(volume)
+
+    eps = 1e-3
+    num = np.zeros_like(np.asarray(vol))
+    base_shape = vol.shape
+    flat = np.asarray(vol).ravel()
+    for i in range(flat.size):
+        vp, vm = flat.copy(), flat.copy()
+        vp[i] += eps
+        vm[i] -= eps
+        num.ravel()[i] = (
+            float(loss(jnp.asarray(vp.reshape(base_shape)), pts))
+            - float(loss(jnp.asarray(vm.reshape(base_shape)), pts))
+        ) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(analytic), num, rtol=5e-2, atol=5e-3)
+
+
+def test_trilerp_grad_wrt_points_is_volume_slope():
+    # A volume that is linear in x must have d(out)/dx == slope everywhere
+    # inside, independent of y, z.
+    N = 5
+    xs = jnp.linspace(-1, 1, N)
+    vol = jnp.broadcast_to(xs[:, None, None, None], (N, N, N, 1)) * 3.0
+    pts = jnp.array([[0.1, -0.2, 0.4], [-0.5, 0.9, -0.9]], jnp.float32)
+    g = jax.grad(lambda p: trilerp(vol, p).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g[:, 0]), 3.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g[:, 1:]), 0.0, atol=1e-5)
+
+
+def test_cascade_lookup_shapes(rng):
+    vols = [jnp.asarray(rng.randn(d, d, d, 4).astype(np.float32)) for d in (8, 4, 2)]
+    masks = [jnp.asarray((rng.rand(d, d, d) > 0.5).astype(np.float32)) for d in (8, 4, 2)]
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(17, 3)).astype(np.float32))
+    feats = lookup_volume_cascade(vols, pts)
+    assert feats.shape == (17, 12)
+    m = lookup_mask_cascade(masks, pts)
+    assert m.shape == (17,)
+    assert set(np.unique(np.asarray(m))).issubset({0.0, 1.0})
+
+
+def test_zeros_padding_outside():
+    vol = jnp.ones((4, 4, 4, 1), jnp.float32)
+    far = jnp.array([[5.0, 5.0, 5.0], [-3.0, 0.0, 0.0]], jnp.float32)
+    out = trilerp(vol, far)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    out = nearest3d(vol, far)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)

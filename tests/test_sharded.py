@@ -1,0 +1,76 @@
+"""Multi-chip training step on a virtual 2x2 CPU mesh: the view/data-sharded
+step must reproduce the single-device loss exactly (lossless distribution,
+SURVEY.md §2.3) and produce identical parameter updates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gens_tpu.data.synthetic import make_scene
+from gens_tpu.models.gens import GenSModel
+from gens_tpu.parallel.sharded import make_mesh, make_sharded_train_step, pad_views
+from gens_tpu.train.step import TrainState, init_train_state, make_train_step
+from tests.test_forward import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    # determinism for exact single- vs multi-device comparison: no ray
+    # perturbation, no random sparse points in the loss
+    cfg.model.render.perturb = 0.0
+    cfg.train.loss.sparse_weight = 0.0
+    model = GenSModel(cfg.model)
+    scene = make_scene(n_views=3, hw=(64, 64), n_rays=32)
+    inputs = {k: jnp.asarray(v) for k, v in scene.items() if k != "radius"}
+    return cfg, model, inputs
+
+
+def _batched(inputs, B):
+    return {k: jnp.stack([v] * B) for k, v in inputs.items()}
+
+
+def test_sharded_step_matches_single_device(setup):
+    cfg, model, inputs = setup
+    mesh = make_mesh(2, 2, jax.devices("cpu")[:4])
+
+    state, _ = init_train_state(model, cfg, jax.random.PRNGKey(0),
+                                steps_per_epoch=1)
+    _, single_step = make_train_step(model, cfg, steps_per_epoch=1)
+
+    key = jax.random.PRNGKey(7)
+    state1, metrics1 = single_step(state, inputs, key, 1.0, False)
+
+    batched = _batched(inputs, 2)  # same scene on both data shards
+    batched, n_views = pad_views(batched, mesh.shape["view"])
+    sharded_step = make_sharded_train_step(model, cfg, mesh, n_views=n_views)
+    state2, metrics2 = sharded_step(state, batched, key, 1.0, False)
+
+    for k in ("loss", "color_loss", "eikonal_loss", "mfc_loss",
+              "smooth_loss", "tv_loss"):
+        np.testing.assert_allclose(float(metrics1[k]), float(metrics2[k]),
+                                   rtol=2e-3, atol=2e-5), k
+
+    # identical scenes + exact loss => identical updates
+    for (p1, p2) in zip(jax.tree_util.tree_leaves(state1.params["sdf"]),
+                        jax.tree_util.tree_leaves(state2.params["sdf"])):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-2, atol=1e-4)
+
+
+def test_sharded_step_runs_multiple_steps(setup):
+    cfg, model, inputs = setup
+    mesh = make_mesh(2, 2, jax.devices("cpu")[:4])
+    batched = _batched(inputs, 2)
+    batched, n_views = pad_views(batched, mesh.shape["view"])
+
+    state, _ = init_train_state(model, cfg, jax.random.PRNGKey(0),
+                                steps_per_epoch=1)
+    step_fn = make_sharded_train_step(model, cfg, mesh, n_views=n_views)
+
+    for i in range(2):
+        state, metrics = step_fn(state, batched, jax.random.PRNGKey(i), 1.0,
+                                 use_match_features=(i == 1))
+        assert np.isfinite(float(metrics["loss"])), i
+    assert int(state.step) == 2

@@ -1,0 +1,103 @@
+"""Volume aggregation: against a manual numpy oracle, and the view-sharded
+psum path against the single-device path (losslessness of the distribution,
+SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gens_tpu.data.synthetic import look_at
+from gens_tpu.models.volume import agg_mean_var, aggregate_scale, voxel_grid
+
+
+def _cams(n, hw=(32, 32), f=40.0):
+    H, W = hw
+    intr = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    c2ws = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        eye = 2.0 * np.array([np.cos(ang), np.sin(ang), 0.3], np.float32)
+        c2ws.append(look_at(eye, np.zeros(3, np.float32)))
+    return np.repeat(intr[None], n, 0), np.stack(c2ws)
+
+
+def test_voxel_grid_layout():
+    g = np.asarray(voxel_grid(3))
+    assert g.shape == (27, 3)
+    np.testing.assert_allclose(g[0], [-1, -1, -1])
+    np.testing.assert_allclose(g[1], [-1, -1, 0])  # z fastest
+    np.testing.assert_allclose(g[9], [0, -1, -1])  # x slowest
+    np.testing.assert_allclose(g[-1], [1, 1, 1])
+
+
+def test_aggregate_mean_var_oracle(rng):
+    """Two views with constant feature maps: mean must equal the mean of the
+    per-view constants on voxels seen by both, var the matching variance."""
+    V, H, W, C = 2, 32, 32, 2
+    intrs, c2ws = _cams(V, (H, W))
+    feat = np.zeros((V, H, W, C), np.float32)
+    feat[0] = 1.0
+    feat[1] = 3.0
+
+    vol, mask = aggregate_scale(jnp.asarray(feat), jnp.asarray(intrs),
+                                jnp.asarray(c2ws), dim=8, scale_idx=0)
+    vol, mask = np.asarray(vol), np.asarray(mask)
+    both = mask > 0  # seen by >1 views = exactly 2 here
+    assert both.sum() > 10
+    np.testing.assert_allclose(vol[both][:, 0], 2.0, atol=1e-4)  # mean
+    np.testing.assert_allclose(vol[both][:, C], 1.0, atol=1e-4)  # var
+
+    # voxels behind every camera or out of frame: zero mask
+    assert (mask >= 0).all() and (mask <= 1).all()
+
+
+def test_cascade_shapes(rng):
+    V = 3
+    intrs, c2ws = _cams(V)
+    feats = [jnp.asarray(rng.rand(V, 32 >> i, 32 >> i, 4).astype(np.float32))
+             for i in range(3)]
+    vols, masks = agg_mean_var(feats, jnp.asarray(intrs), jnp.asarray(c2ws),
+                               volume_dims=(16, 8, 4))
+    assert [v.shape for v in vols] == [(16, 16, 16, 8), (8, 8, 8, 8), (4, 4, 4, 8)]
+    assert [m.shape for m in masks] == [(16,) * 3, (8,) * 3, (4,) * 3]
+
+
+def test_view_sharded_aggregation_matches_single_device(rng):
+    """Shard 6 real + 2 padded views over a 4-device 'view' axis; the psum
+    triplet must reproduce the single-device result exactly."""
+    V_real, V_pad = 6, 8
+    intrs, c2ws = _cams(V_real)
+    feat = rng.rand(V_real, 32, 32, 4).astype(np.float32)
+
+    ref_vol, ref_mask = aggregate_scale(
+        jnp.asarray(feat), jnp.asarray(intrs), jnp.asarray(c2ws),
+        dim=8, scale_idx=0)
+
+    # pad to 8 views
+    feat_p = np.zeros((V_pad, 32, 32, 4), np.float32)
+    feat_p[:V_real] = feat
+    intrs_p = np.repeat(intrs[:1], V_pad, 0)
+    intrs_p[:V_real] = intrs
+    c2ws_p = np.repeat(np.eye(4, dtype=np.float32)[None], V_pad, 0)
+    c2ws_p[:V_real] = c2ws
+    valid = (np.arange(V_pad) < V_real).astype(np.float32)
+
+    devices = np.array(jax.devices("cpu")[:4]).reshape(4)
+    mesh = Mesh(devices, ("view",))
+
+    def fn(feat_l, intrs_l, c2ws_l, valid_l):
+        return aggregate_scale(feat_l, intrs_l, c2ws_l, dim=8, scale_idx=0,
+                               axis_name="view", view_valid=valid_l)
+
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("view"), P("view"), P("view"), P("view")),
+        out_specs=(P(), P()),
+    )
+    vol, mask = sharded(jnp.asarray(feat_p), jnp.asarray(intrs_p),
+                        jnp.asarray(c2ws_p), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask))
