@@ -29,8 +29,13 @@ from gens_tpu.ops.projection import scale_intrinsics
 def voxel_grid(dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """(dim³, 3) voxel-center xyz coordinates of an align-corners grid over
     [-1,1]³, x fastest-varying last (meshgrid 'ij' on (x,y,z) like
-    volume.py:28-30)."""
-    r = jnp.linspace(-1.0, 1.0, dim, dtype=dtype)
+    volume.py:28-30).
+
+    The linspace is wrapped in an optimization barrier: without it XLA
+    constant-folds the whole dim³x3 grid (and everything derived from it)
+    at compile time, which blows up compilation at 256³.
+    """
+    r = jax.lax.optimization_barrier(jnp.linspace(-1.0, 1.0, dim, dtype=dtype))
     gx, gy, gz = jnp.meshgrid(r, r, r, indexing="ij")
     return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
@@ -83,12 +88,14 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         vm = vals * mask[..., None]
         return (s + vm, ss + vm ** 2, ms + mask), None
 
-    init = (jnp.zeros((N, C), feat.dtype), jnp.zeros((N, C), feat.dtype),
-            jnp.zeros((N,), feat.dtype))
-    if axis_name is not None:
-        # under shard_map the scanned-over view tensors are device-varying;
-        # the zero carry must be marked varying too (shard_map vma typing)
-        init = jax.tree.map(lambda x: jax.lax.pvary(x, (axis_name,)), init)
+    # under shard_map the scanned-over view tensors are device-varying and
+    # the zero carry must carry the same varying-axes type; deriving the
+    # zeros from the inputs propagates it for any enclosing mesh axes
+    zero = jnp.sum(feat[0, 0, 0]) * 0 + jnp.sum(c2ws[0, 0]) * 0 \
+        + jnp.sum(intrs_i[0, 0]) * 0 + jnp.sum(valid[0]) * 0
+    init = (jnp.zeros((N, C), feat.dtype) + zero,
+            jnp.zeros((N, C), feat.dtype) + zero,
+            jnp.zeros((N,), feat.dtype) + zero)
     (warp_sum, warp_sq_sum, mask_sum), _ = jax.lax.scan(
         body, init, (feat, intrs_i, c2ws, valid))
 

@@ -130,7 +130,8 @@ def hierarchical_sample(
     """
     R = rays_o.shape[0]
     t = jnp.linspace(0.0, 1.0, n_samples)
-    z_vals = near + (far - near) * t[None, :]  # (R, S)
+    # near/far may be per-ray (R, 1) or scene-wide (1, 1): broadcast to (R, S)
+    z_vals = jnp.broadcast_to(near + (far - near) * t[None, :], (R, n_samples))
 
     if perturb_key is not None:
         t_rand = jax.random.uniform(perturb_key, (R, 1)) - 0.5

@@ -1,0 +1,374 @@
+"""Training / validation / fine-tuning orchestrator.
+
+Re-design of /root/reference/runner.py:24-403 for the functional JAX stack:
+the three modes are loops over jit-compiled pure steps; checkpointing covers
+both the train format (epoch/params/opt_state, runner.py:124-132) and the
+finetune volume format (gens.py:54-61). The reference's resume-ordering bug
+(optimizer restored before it exists, runner.py:83 vs :97 — SURVEY.md §7.5)
+is structurally impossible here.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gens_tpu.config import Config
+from gens_tpu.data.dtu import DTUDataset
+from gens_tpu.data.dtu_finetune import DTUFinetuneDataset
+from gens_tpu.losses import compute_losses
+from gens_tpu.mesh.extract import extract_geometry
+from gens_tpu.mesh.ply import apply_transform, write_ply
+from gens_tpu.models.gens import GenSModel
+from gens_tpu.models.renderer import Scene
+from gens_tpu.train.checkpoint import (latest_checkpoint, load_checkpoint,
+                                       save_checkpoint)
+from gens_tpu.train.schedule import cos_anneal_ratio
+from gens_tpu.train.step import (TrainState, init_train_state,
+                                 make_finetune_optimizer, make_train_step,
+                                 sync_match_features)
+from gens_tpu.utils.meters import DictAverageMeter, MetricsLogger, tensor2float
+
+_DATASETS = {
+    "dtu": DTUDataset,
+}
+_FT_DATASETS = {
+    "dtu": DTUFinetuneDataset,
+}
+
+
+def get_dataset(cfg, mode: str, rng=None):
+    name = cfg.dataset_name.lower().replace("dataset", "")
+    if mode == "finetune":
+        if name in ("dtu", "dtufinetune"):
+            return DTUFinetuneDataset(cfg, rng=rng)
+        from gens_tpu.data.bmvs import BMVSFinetuneDataset
+
+        return BMVSFinetuneDataset(cfg, rng=rng)
+    if name in ("dtu",):
+        return DTUDataset(cfg, mode, rng=rng)
+    from gens_tpu.data.bmvs import BMVSDataset
+
+    return BMVSDataset(cfg, mode, rng=rng)
+
+
+def to_device(inputs: Dict) -> Dict:
+    return {k: jnp.asarray(v) for k, v in inputs.items()
+            if isinstance(v, np.ndarray)}
+
+
+class Runner:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.mode = cfg.mode
+        self.model = GenSModel(cfg.model)
+        self.exp_dir = cfg.base_exp_dir
+        if self.mode == "finetune":
+            scene = cfg.finetune_dataset.scene[0]
+            ref = cfg.finetune_dataset.ref_view[0]
+            self.exp_dir = os.path.join(self.exp_dir, scene, f"view{ref}")
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.logger = MetricsLogger(os.path.join(self.exp_dir, "logs"))
+        self.rng = np.random.RandomState(cfg.train.seed)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def run(self, resume: Optional[str] = None):
+        if self.mode == "train":
+            self.train(resume)
+        elif self.mode == "val":
+            self.validate_all(resume)
+        elif self.mode == "finetune":
+            self.finetune(resume)
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+
+    # ------------------------------------------------------------------
+    def train(self, resume: Optional[str] = None):
+        cfg = self.cfg
+        dataset = get_dataset(cfg.train_dataset, "train", self.rng)
+        steps_per_epoch = len(dataset)
+        state, _ = init_train_state(self.model, cfg, self._next_key(),
+                                    steps_per_epoch)
+        start_epoch = 0
+        if resume:
+            ckpt = load_checkpoint(resume)
+            state = TrainState(ckpt["params"], ckpt["opt_state"],
+                               jnp.asarray(ckpt["step"], jnp.int32))
+            start_epoch = ckpt["epoch"] + 1
+
+        _, step_fn = make_train_step(self.model, cfg, steps_per_epoch)
+
+        for epoch in range(start_epoch, cfg.train.epochs):
+            if epoch % self.cfg.model.match_sync_every == 0:
+                params = sync_match_features(state.params)
+                state = TrainState(params, state.opt_state, state.step)
+            avg = DictAverageMeter()
+            order = self.rng.permutation(steps_per_epoch)
+            t0 = time.time()
+            for batch, idx in enumerate(order):
+                inputs = to_device(dataset[int(idx)])
+                frac = epoch + batch / steps_per_epoch
+                anneal = cos_anneal_ratio(frac, cfg.train.anneal_end)
+                state, metrics = step_fn(
+                    state, inputs, self._next_key(), anneal,
+                    use_match_features=frac >= 5)
+                scalars = tensor2float(metrics)
+                avg.update(scalars)
+                if batch % max(1, int(cfg.train.log_freq * steps_per_epoch)) == 0:
+                    scalars["sec_per_step"] = (time.time() - t0) / (batch + 1)
+                    self.logger.log("train", scalars,
+                                    epoch * steps_per_epoch + batch)
+            self.logger.log("train_avg", avg.avg_data, epoch)
+
+            if ((epoch + 1) % cfg.train.save_freq == 0
+                    or epoch + 1 >= cfg.train.epochs):
+                save_checkpoint(
+                    os.path.join(self.exp_dir, "checkpoints",
+                                 f"model_{epoch:03d}.ckpt"),
+                    {"epoch": epoch, "step": int(state.step),
+                     "params": state.params, "opt_state": state.opt_state})
+            if (epoch + 1) % cfg.train.val_freq == 0:
+                self.validate(state.params, epoch)
+        self.state = state
+
+    # ------------------------------------------------------------------
+    def _render_chunked(self, params, scene: Scene, inputs, chunk: int = 512):
+        """Chunked full-image render (reference implicit_surface.py:437-453),
+        fixed chunk size so ONE compile serves every chunk."""
+        rays_o = np.asarray(inputs["rays_o"])
+        rays_d = np.asarray(inputs["rays_d"])
+        n = rays_o.shape[0]
+        n_pad = (-n) % chunk
+
+        @jax.jit
+        def render_chunk(params, scene, ro, rd, near, far):
+            return self.model.renderer.render(
+                params, ro, rd, near, far, scene,
+                cos_anneal_ratio=1.0, use_match_features=False,
+                key=None, train=False)
+
+        ro = np.concatenate([rays_o, np.repeat(rays_o[-1:], n_pad, 0)])
+        rd = np.concatenate([rays_d, np.repeat(rays_d[-1:], n_pad, 0)])
+        outs = {"color_fine": [], "normal": [], "sdf_depth": [],
+                "render_depth": []}
+        for i in range(0, len(ro), chunk):
+            out = render_chunk(params, scene, jnp.asarray(ro[i:i + chunk]),
+                               jnp.asarray(rd[i:i + chunk]),
+                               inputs["near"], inputs["far"])
+            # weighted normal restricted to the unit sphere
+            # (implicit_surface.py:448-450)
+            normals = (np.asarray(out["gradients"])
+                       * np.asarray(out["weights"])[..., None]
+                       * np.asarray(out["inside_sphere"])[..., None]).sum(1)
+            outs["normal"].append(normals)
+            for k in ("color_fine", "sdf_depth", "render_depth"):
+                outs[k].append(np.asarray(out[k]))
+        cat = {k: np.concatenate(v)[:n] for k, v in outs.items()}
+        return cat
+
+    def validate(self, params, epoch: int = 0, dataset=None,
+                 extract_mesh: bool = True):
+        cfg = self.cfg
+        if dataset is None:
+            dataset = get_dataset(cfg.val_dataset, "val", self.rng)
+        avg = DictAverageMeter()
+        for idx in range(len(dataset)):
+            raw = dataset[idx]
+            inputs = to_device(raw)
+
+            build = jax.jit(lambda p, i: self.model.build_scene(
+                p, i["imgs"], i["intrs"], i["c2ws"]))
+            scene = build(params, inputs)
+
+            h, w = int(raw["hw"][0]), int(raw["hw"][1])
+
+            if extract_mesh:
+                sdf_fn = self.model.renderer.sdf_fn(params, scene.volumes)
+                verts, tris = extract_geometry(
+                    sdf_fn, raw["bound_min"], raw["bound_max"],
+                    resolution=cfg.mesh_resolution)
+                if cfg.clean_mesh and len(verts):
+                    from gens_tpu.mesh.clean import clean_mesh
+
+                    verts, tris = clean_mesh(
+                        verts, tris, raw["masks"], np.asarray(raw["intrs"]),
+                        np.asarray(raw["c2ws"]))
+                if len(verts):
+                    verts = apply_transform(verts, np.asarray(raw["scale_mat"]))
+                mesh_dir = os.path.join(self.exp_dir, "meshes")
+                os.makedirs(mesh_dir, exist_ok=True)
+                write_ply(os.path.join(
+                    mesh_dir, f"{raw['scene']}_epoch{epoch}.ply"), verts, tris)
+
+            rend = self._render_chunked(params, scene, inputs)
+            self._save_val_images(raw, rend, (h, w), epoch)
+
+            color = rend["color_fine"].reshape(h, w, 3)
+            gt = np.asarray(raw["color"]).reshape(h, w, 3)
+            mse = float(((color - gt) ** 2).mean())
+            scalars = {"psnr": 20.0 * np.log10(1.0 / np.sqrt(mse + 1e-12)),
+                       "color_loss": float(np.abs(color - gt).mean())}
+
+            depth_ref = np.asarray(raw["depth_ref"])
+            skip = depth_ref.shape[0] // h
+            depth_ref = depth_ref[::skip, ::skip][:h, :w]
+            dmask = (depth_ref > 0).astype(np.float32)
+            for name in ("render_depth", "sdf_depth"):
+                d = rend[name].reshape(h, w)
+                scalars[name + "_loss"] = float(
+                    (np.abs(d - depth_ref) * dmask).sum() / (dmask.sum() + 1e-8))
+            avg.update(scalars)
+            self.logger.log("val", scalars, epoch * 1000 + idx)
+        self.logger.log("val_avg", avg.avg_data, epoch)
+        return avg.avg_data
+
+    def _save_val_images(self, raw, rend, hw, tag):
+        from PIL import Image
+
+        h, w = hw
+        out_img = (rend["color_fine"].reshape(h, w, 3) * 256).clip(0, 255)
+        rot = np.linalg.inv(np.asarray(raw["c2ws"])[0, :3, :3])
+        normal = rend["normal"].reshape(-1, 3) @ rot.T
+        normal_img = (normal.reshape(h, w, 3) * 128 + 128).clip(0, 255)
+
+        name = raw.get("file_name", raw.get("scene", "val"))
+        for sub, arr in (("val_img", out_img), ("val_normal", normal_img)):
+            d = os.path.join(self.exp_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(arr.astype(np.uint8)).save(
+                os.path.join(d, f"{name}_epoch{tag}.png"))
+        for sub, arr in (("val_render_depth", rend["render_depth"]),
+                         ("val_sdf_depth", rend["sdf_depth"])):
+            d = os.path.join(self.exp_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            self._save_depth(arr.reshape(h, w),
+                             os.path.join(d, f"{name}_epoch{tag}.png"))
+
+    @staticmethod
+    def _save_depth(depth, path, vmin=0.0, vmax=2.5):
+        """Magma-colormapped depth PNG (reference runner.py:379-392)."""
+        import matplotlib.cm as cm
+        import matplotlib as mpl
+        from PIL import Image
+
+        mapper = cm.ScalarMappable(
+            norm=mpl.colors.Normalize(vmin=vmin, vmax=vmax), cmap="magma")
+        img = (mapper.to_rgba(depth)[:, :, :3] * 255).astype(np.uint8)
+        Image.fromarray(img).save(path)
+
+    def validate_all(self, resume: Optional[str] = None):
+        assert resume, "val mode needs a checkpoint (--resume)"
+        ckpt = load_checkpoint(resume)
+        self.validate(ckpt["params"], ckpt.get("epoch", 0))
+
+    # ------------------------------------------------------------------
+    def finetune(self, resume: Optional[str] = None):
+        """Per-scene optimization of volumes + MLP (reference
+        runner.py:284-377, gens.py:63-85)."""
+        import optax
+
+        cfg = self.cfg
+        assert resume, "finetune needs a pretrained checkpoint"
+        ckpt = load_checkpoint(resume)
+        params = ckpt["params"]
+
+        dataset = get_dataset(cfg.finetune_dataset, "finetune", self.rng)
+        init_inputs = to_device(dataset.get_all_images())
+
+        volumes, mask_vols, features = jax.jit(
+            lambda p, i: self.model.init_volumes(
+                p, i["imgs"], i["intrs"], i["c2ws"]))(params, init_inputs)
+
+        ft_params = {
+            "volumes": list(volumes),
+            "sdf": params["sdf"],
+            "blending": params["blending"],
+            "variance": params["variance"],
+        }
+        static = {"mask_volumes": list(mask_vols), "features": list(features)}
+
+        optimizer = make_finetune_optimizer(cfg.train)
+        opt_state = optimizer.init(ft_params)
+
+        @jax.jit
+        def ft_step(ft_params, opt_state, inputs, key, anneal):
+            def loss_fn(p):
+                outputs = self.model.forward_finetune(
+                    p, static, inputs, anneal, key)
+                losses = compute_losses(outputs, inputs, cfg.train.loss)
+                mse = jnp.mean((outputs["color_fine"] - inputs["color"]) ** 2)
+                losses["psnr"] = 20.0 * jnp.log10(
+                    1.0 / jnp.sqrt(mse + 1e-12))
+                return losses["loss"], losses
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(ft_params)
+            updates, opt_state = optimizer.update(grads, opt_state, ft_params)
+            ft_params = optax.apply_updates(ft_params, updates)
+            return ft_params, opt_state, metrics
+
+        avg = DictAverageMeter()
+        perm = self.rng.permutation(dataset.num_views)
+        for step in range(cfg.train.epochs):
+            vid = int(perm[step % len(perm)])
+            inputs = to_device(dataset.get_random_rays(vid))
+            anneal = cos_anneal_ratio(step, cfg.train.anneal_end)
+            ft_params, opt_state, metrics = ft_step(
+                ft_params, opt_state, inputs, self._next_key(), anneal)
+            avg.update(tensor2float(metrics))
+            if (step + 1) % len(perm) == 0:
+                perm = self.rng.permutation(dataset.num_views)
+            if (step + 1) % max(1, int(cfg.train.log_freq)) == 0:
+                self.logger.log("finetune", tensor2float(metrics), step)
+            if ((step + 1) % cfg.train.save_freq == 0
+                    or step + 1 >= cfg.train.epochs):
+                save_checkpoint(
+                    os.path.join(self.exp_dir, "checkpoints",
+                                 f"model_{step:03d}.ckpt"),
+                    {"epoch": step,
+                     "params": {"volumes": ft_params["volumes"],
+                                "mask_volumes": static["mask_volumes"],
+                                "features": static["features"],
+                                "sdf": ft_params["sdf"],
+                                "blending": ft_params["blending"],
+                                "variance": ft_params["variance"]}})
+            if ((step + 1) % cfg.train.val_freq == 0
+                    or step + 1 >= cfg.train.epochs):
+                self._finetune_validate(ft_params, static, dataset, step)
+        self.ft_params = ft_params
+
+    def _finetune_validate(self, ft_params, static, dataset, step):
+        raw = dataset.get_rays_at(0)
+        inputs = to_device(raw)
+        features = [jnp.take(f, inputs["view_ids"], axis=0)
+                    for f in static["features"]]
+        scene = Scene(
+            volumes=ft_params["volumes"],
+            mask_volumes=static["mask_volumes"],
+            features=features, match_features=features,
+            imgs=inputs["imgs"], intrs=inputs["intrs"], c2ws=inputs["c2ws"])
+        params = {k: ft_params[k] for k in ("sdf", "blending", "variance")}
+
+        sdf_fn = self.model.renderer.sdf_fn(params, scene.volumes)
+        verts, tris = extract_geometry(
+            sdf_fn, raw["bound_min"], raw["bound_max"],
+            resolution=self.cfg.mesh_resolution)
+        if len(verts):
+            verts = apply_transform(verts, np.asarray(raw["scale_mat"]))
+        mesh_dir = os.path.join(self.exp_dir, "meshes")
+        os.makedirs(mesh_dir, exist_ok=True)
+        write_ply(os.path.join(mesh_dir, f"{raw['scene']}_step{step}.ply"),
+                  verts, tris)
+
+        rend = self._render_chunked(params, scene, inputs)
+        h, w = int(raw["hw"][0]), int(raw["hw"][1])
+        self._save_val_images(raw, rend, (h, w), f"ft{step}")
