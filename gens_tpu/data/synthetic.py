@@ -117,3 +117,120 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
         "color": color.astype(np.float32),
         "radius": radius,
     }
+
+
+class SyntheticDataset:
+    """Dataset-interface wrapper over the analytic sphere scene: supports the
+    train/val item protocol AND the finetune protocol (get_all_images /
+    get_random_rays / get_rays_at), so every Runner path can be exercised
+    without data on disk."""
+
+    def __init__(self, n_scenes: int = 1, n_views: int = 3, hw=(64, 64),
+                 n_rays: int = 64, val_res_level: int = 4,
+                 n_pseudo_pts: int = 64, mode: str = "train", seed: int = 0):
+        self.n_scenes = n_scenes
+        self.n_views = n_views
+        self.num_views = n_views
+        self.hw = hw
+        self.n_rays = n_rays
+        self.val_res_level = val_res_level
+        self.n_pseudo_pts = n_pseudo_pts
+        self.mode = mode
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.n_scenes
+
+    def _scene(self, idx, n_rays):
+        return make_scene(n_views=self.n_views, hw=self.hw, n_rays=n_rays,
+                          seed=int(self.rng.randint(0, 1 << 30)) + idx)
+
+    def __getitem__(self, idx):
+        if self.mode == "train":
+            out = self._scene(idx, self.n_rays)
+            radius = out.pop("radius")
+            # pseudo supervision from the analytic sphere: exact depth along
+            # sampled rays and exact surface points
+            b = np.sum(out["rays_d"] * out["rays_o"], axis=-1)
+            c = np.sum(out["rays_o"] ** 2, axis=-1) - radius ** 2
+            disc = b ** 2 - c
+            t = -b - np.sqrt(np.maximum(disc, 0.0))
+            hit = (disc > 0) & (t > 0)
+            cam_z = (out["rays_d"] @ np.linalg.inv(
+                out["c2ws"][0][:3, :3]).T)[:, 2]
+            out["pseudo_depth"] = np.where(hit, t * cam_z, 0.0).astype(
+                np.float32)
+            dirs = self.rng.randn(self.n_pseudo_pts, 3).astype(np.float32)
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            out["pseudo_pts"] = (dirs * radius).astype(np.float32)
+            return out
+
+        H, W = self.hw
+        stride = self.val_res_level
+        out = self._scene(idx, 1)
+        radius = out.pop("radius")
+        tx = np.linspace(0, W - 1, W // stride, dtype=np.float32)
+        ty = np.linspace(0, H - 1, H // stride, dtype=np.float32)
+        py, px = np.meshgrid(ty, tx, indexing="ij")
+        px, py = px.ravel(), py.ravel()
+        ix, iy = px.astype(np.int64), py.astype(np.int64)
+        intr, c2w = out["intrs"][0], out["c2ws"][0]
+        p = np.stack([px, py, np.ones_like(px)], -1) @ np.linalg.inv(intr).T
+        d = p / np.linalg.norm(p, axis=-1, keepdims=True)
+        rays_d = (d @ c2w[:3, :3].T).astype(np.float32)
+        rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape).astype(np.float32)
+        color = out["imgs"][0][iy, ix]
+
+        # analytic GT depth: full reference-view map + per-ray values
+        fy, fx = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing="ij")
+        fp = np.stack([fx.ravel(), fy.ravel(), np.ones(H * W, np.float32)],
+                      -1) @ np.linalg.inv(intr).T
+        fd = fp / np.linalg.norm(fp, axis=-1, keepdims=True)
+        fd = fd @ c2w[:3, :3].T
+        fo = np.broadcast_to(c2w[:3, 3], fd.shape)
+        b = np.sum(fd * fo, axis=-1)
+        c = np.sum(fo ** 2, axis=-1) - radius ** 2
+        disc = b ** 2 - c
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit = (disc > 0) & (t > 0)
+        cam_z = (fd @ np.linalg.inv(c2w[:3, :3]).T)[:, 2]
+        depth_ref = np.where(hit, t * cam_z, 0.0).astype(
+            np.float32).reshape(H, W)
+        depth = depth_ref[iy, ix]
+
+        out.update({
+            "rays_o": rays_o, "rays_d": rays_d, "color": color,
+            "depth": depth,
+            "depth_ref": depth_ref,
+            "masks": np.ones((self.n_views, H, W), np.float32),
+            "mask_ref": np.ones((H, W), np.float32),
+            "bound_min": np.array([-1, -1, -1], np.float32),
+            "bound_max": np.array([1, 1, 1], np.float32),
+            "hw": np.array([H // stride, W // stride], np.int64),
+            "scale_mat": np.eye(4, dtype=np.float32),
+            "scene": f"sphere{idx}",
+            "file_name": f"sphere{idx}",
+            "view_ids": np.arange(self.n_views, dtype=np.int64),
+        })
+        return out
+
+    # -- finetune protocol ------------------------------------------------
+
+    def get_all_images(self):
+        out = self._scene(0, 1)
+        return {"imgs": out["imgs"], "intrs": out["intrs"],
+                "c2ws": out["c2ws"]}
+
+    def get_random_rays(self, vid: int):
+        out = self._scene(0, self.n_rays)
+        out.pop("radius")
+        order = [vid] + [i for i in range(self.n_views) if i != vid]
+        out["view_ids"] = np.asarray(order, np.int64)
+        return out
+
+    def get_rays_at(self, vid: int):
+        self.mode = "val"
+        out = self[0]
+        self.mode = "finetune"
+        return out
