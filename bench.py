@@ -57,35 +57,34 @@ def main():
     jax.block_until_ready(jax.tree_util.tree_leaves(scene.volumes))
     build_time = time.time() - t0
 
+    iters = 20
+
+    # Device-side timing loop: the tunneled device adds multi-second host
+    # dispatch stalls, so the iteration loop runs INSIDE one jit. The PRNG
+    # key is folded per iteration so XLA cannot hoist the (otherwise
+    # loop-invariant) render out of the loop.
     @jax.jit
-    def render(params, scene, rays_o, rays_d, near, far):
-        return model.renderer.render(
-            params, rays_o, rays_d, near, far, scene,
-            cos_anneal_ratio=1.0, use_match_features=False,
-            key=jax.random.PRNGKey(0), train=False)
+    def render_n(params, scene, rays_o, rays_d, near, far):
+        def body(i, acc):
+            out = model.renderer.render(
+                params, rays_o, rays_d, near, far, scene,
+                cos_anneal_ratio=1.0, use_match_features=False,
+                key=jax.random.fold_in(jax.random.PRNGKey(0), i),
+                train=False)
+            return acc + jnp.sum(out["color_fine"])
+        return jax.lax.fori_loop(0, iters, body, 0.0)
 
     args = (params, scene, inputs["rays_o"], inputs["rays_d"],
             inputs["near"], inputs["far"])
 
     t0 = time.time()
-    out = render(*args)
-    jax.block_until_ready(out)
+    acc = float(np.asarray(render_n(*args)))
     compile_time = time.time() - t0
-
-    def run_once():
-        out = render(*args)
-        # materialize on host: block_until_ready alone has been observed not
-        # to fence through the tunneled device, giving impossibly low times
-        return float(np.asarray(out["color_fine"]).sum())
-
-    run_once()  # warm
-    iters = 20
-    t0 = time.time()
-    acc = 0.0
-    for _ in range(iters):
-        acc += run_once()
-    dt = time.time() - t0
     assert np.isfinite(acc)
+
+    t0 = time.time()
+    acc = float(np.asarray(render_n(*args)))  # includes one host roundtrip
+    dt = time.time() - t0
 
     rays_per_s = n_rays * iters / dt
     result = {

@@ -21,6 +21,11 @@ class FeatureNetConfig:
     # encoder channels per stride stage (strides 2, 4, 8, 16, 32)
     d_enc: Tuple[int, ...] = (16, 24, 40, 96, 160)
     norm: str = "instance"
+    # "fpn" (self-contained, default) or "mnasnet" (reference backbone;
+    # load ported ImageNet weights via scripts/convert_mnasnet_weights.py +
+    # pretrained_path). MnasNet BN running stats are frozen during training.
+    backbone: str = "fpn"
+    pretrained_path: Optional[str] = None
 
 
 @dataclass

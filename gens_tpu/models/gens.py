@@ -34,7 +34,12 @@ from gens_tpu.models.volume import agg_mean_var
 class GenSModel:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
-        self.feature_net = FeatureNetwork(cfg.feature_network)
+        if cfg.feature_network.backbone == "mnasnet":
+            from gens_tpu.models.mnasnet import MnasNetFeatureNetwork
+
+            self.feature_net = MnasNetFeatureNetwork(cfg.feature_network)
+        else:
+            self.feature_net = FeatureNetwork(cfg.feature_network)
         self.reg_net = RegNetwork(cfg.reg_network)
         self.sdf_net = SDFNetwork(cfg.sdf_network)
         self.blending_net = BlendingNetwork(cfg.color_network)
@@ -48,6 +53,16 @@ class GenSModel:
         kf, km, kr, ks, kb, kv = jax.random.split(key, 6)
         dummy_imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
         feature_params = self.feature_net.init(kf, dummy_imgs)
+        if self.cfg.feature_network.pretrained_path:
+            import pickle
+
+            with open(self.cfg.feature_network.pretrained_path, "rb") as f:
+                pretrained = pickle.load(f)
+            feature_params = dict(feature_params)
+            feature_params["params"] = dict(feature_params["params"])
+            feature_params["params"]["encoder"] = pretrained["params"]
+            feature_params["batch_stats"] = {
+                "encoder": pretrained["batch_stats"]}
 
         n_scales = len(self.cfg.volume.volume_dims)
         c_feat = self.cfg.feature_network.d_out[0]

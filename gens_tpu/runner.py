@@ -76,6 +76,19 @@ class Runner:
         self.logger = MetricsLogger(os.path.join(self.exp_dir, "logs"))
         self.rng = np.random.RandomState(cfg.train.seed)
         self.key = jax.random.PRNGKey(cfg.train.seed)
+        if self.mode in ("train", "finetune"):
+            self._backup_code()
+
+    def _backup_code(self):
+        """Copy the framework source into the experiment dir for exact
+        reproducibility (reference codes_backup, runner.py:400-403)."""
+        import shutil
+
+        src = os.path.dirname(os.path.abspath(__file__))
+        dst = os.path.join(self.exp_dir, "codes_recording", "gens_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(src, dst,
+                            ignore=shutil.ignore_patterns("__pycache__"))
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -283,19 +296,35 @@ class Runner:
         params = ckpt["params"]
 
         dataset = get_dataset(cfg.finetune_dataset, "finetune", self.rng)
-        init_inputs = to_device(dataset.get_all_images())
 
-        volumes, mask_vols, features = jax.jit(
-            lambda p, i: self.model.init_volumes(
-                p, i["imgs"], i["intrs"], i["c2ws"]))(params, init_inputs)
-
-        ft_params = {
-            "volumes": list(volumes),
-            "sdf": params["sdf"],
-            "blending": params["blending"],
-            "variance": params["variance"],
-        }
-        static = {"mask_volumes": list(mask_vols), "features": list(features)}
+        if "volumes" in params:
+            # finetune-format checkpoint (reference --load_vol /
+            # load_params_vol, gens.py:45-52): resume the stored volumes,
+            # frozen masks/features and MLP directly
+            ft_params = {
+                "volumes": [jnp.asarray(v) for v in params["volumes"]],
+                "sdf": params["sdf"],
+                "blending": params["blending"],
+                "variance": params["variance"],
+            }
+            static = {
+                "mask_volumes": [jnp.asarray(v)
+                                 for v in params["mask_volumes"]],
+                "features": [jnp.asarray(f) for f in params["features"]],
+            }
+        else:
+            init_inputs = to_device(dataset.get_all_images())
+            volumes, mask_vols, features = jax.jit(
+                lambda p, i: self.model.init_volumes(
+                    p, i["imgs"], i["intrs"], i["c2ws"]))(params, init_inputs)
+            ft_params = {
+                "volumes": list(volumes),
+                "sdf": params["sdf"],
+                "blending": params["blending"],
+                "variance": params["variance"],
+            }
+            static = {"mask_volumes": list(mask_vols),
+                      "features": list(features)}
 
         optimizer = make_finetune_optimizer(cfg.train)
         opt_state = optimizer.init(ft_params)

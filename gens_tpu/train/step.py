@@ -30,13 +30,17 @@ class TrainState(NamedTuple):
 
 def _param_labels(params) -> Dict:
     """Label each top-level param subtree with its LR group
-    (reference get_optim_params, gens.py:32-43)."""
+    (reference get_optim_params, gens.py:32-43). BatchNorm running stats
+    (mnasnet backbone) are frozen, not adam-updated."""
     labels = {}
-    for k in params:
+    for k, v in params.items():
         if k in ("sdf", "blending", "variance"):
             labels[k] = "mlp"
         elif k == "match_feature":
-            labels[k] = "frozen"
+            labels[k] = jax.tree.map(lambda _: "frozen", v)
+        elif isinstance(v, dict) and "batch_stats" in v:
+            labels[k] = {kk: "frozen" if kk == "batch_stats" else "feat"
+                         for kk in v}
         else:  # feature, reg
             labels[k] = "feat"
     return labels

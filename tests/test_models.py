@@ -149,3 +149,67 @@ def test_variance_network():
     params = net.init(jax.random.PRNGKey(0))
     inv_s = net.apply(params)
     np.testing.assert_allclose(float(inv_s), np.exp(3.0), rtol=1e-5)
+
+
+def test_mnasnet_feature_network_pyramid(rng):
+    """MnasNet-FPN variant: correct pyramid shapes + converter structural
+    round-trip (fake torch-layout state_dict -> flax tree loads and runs)."""
+    from gens_tpu.config import FeatureNetConfig
+    from gens_tpu.models.mnasnet import MnasNetFeatureNetwork, convert_torch_mnasnet
+
+    net = MnasNetFeatureNetwork(FeatureNetConfig())
+    imgs = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), imgs)
+    outs = net.apply(variables, imgs)
+    assert len(outs) == 5
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 64 >> i, 96 >> i, 4), (i, o.shape)
+
+    # build a fake torchvision-layout state dict with matching shapes and
+    # check the converter produces a loadable encoder subtree
+    def tshape(flax_kernel, depthwise=False):
+        kh, kw, i, o = flax_kernel.shape
+        if depthwise:
+            return (o * i, 1, kh, kw) if False else (o, i, kh, kw)
+        return (o, i, kh, kw)
+
+    enc_params = variables["params"]["encoder"]
+    fake = {}
+
+    def fill_convbn(flax_node, conv_name, bn_name, depthwise=False):
+        k = np.asarray(flax_node["conv"]["kernel"])
+        kh, kw, i, o = k.shape
+        fake[conv_name] = (rng.randn(o, i, kh, kw) * (1.5 / np.sqrt(i * kh * kw))).astype(np.float32)
+        c = o
+        fake[bn_name + ".weight"] = rng.rand(c).astype(np.float32) + 0.5
+        fake[bn_name + ".bias"] = rng.randn(c).astype(np.float32)
+        fake[bn_name + ".running_mean"] = rng.randn(c).astype(np.float32)
+        fake[bn_name + ".running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+    fill_convbn(enc_params["stem_conv"], "layers.0.weight", "layers.1")
+    fill_convbn(enc_params["stem_dw"], "layers.3.weight", "layers.4", True)
+    fill_convbn(enc_params["stem_pw"], "layers.6.weight", "layers.7")
+    specs = {"stack1": (3, 8), "stack2": (3, 9), "stack3": (3, 10),
+             "stack4": (2, 11), "stack5": (4, 12), "stack6": (1, 13)}
+    for stack, (n, t) in specs.items():
+        for b in range(n):
+            base = f"layers.{t}.{b}.layers"
+            blk = enc_params[stack][f"block{b}"]
+            fill_convbn(blk["expand"], f"{base}.0.weight", f"{base}.1")
+            fill_convbn(blk["depthwise"], f"{base}.3.weight", f"{base}.4", True)
+            fill_convbn(blk["project"], f"{base}.6.weight", f"{base}.7")
+
+    converted = convert_torch_mnasnet(fake)
+
+    # splice the converted encoder into the full variable tree and run
+    import flax
+
+    var2 = flax.core.unfreeze(variables) if hasattr(flax.core, "unfreeze") else dict(variables)
+    var2 = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy ok
+    new_vars = {
+        "params": {**variables["params"], "encoder": converted["params"]},
+        "batch_stats": {"encoder": converted["batch_stats"]},
+    }
+    outs2 = net.apply(new_vars, imgs)
+    for o in outs2:
+        assert np.isfinite(np.asarray(o)).all()
