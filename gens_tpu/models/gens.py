@@ -121,9 +121,12 @@ class GenSModel:
         match_features = self.extract_features(params, imgs, match=True)
         volumes, mask_vols = self.build_volumes(
             params, features, intrs, c2ws, axis_name, view_valid)
+        from gens_tpu.ops.interp import combine_mask_cascade
+
         return Scene(
             volumes=volumes, mask_volumes=mask_vols, features=features,
-            match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws)
+            match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws,
+            mask_any=combine_mask_cascade(mask_vols))
 
     # -- forward -----------------------------------------------------------
 

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from gens_tpu.config import RenderConfig
 from gens_tpu.models.sdf_net import SDFNetwork
-from gens_tpu.ops.interp import lookup_mask_cascade, safe_norm
+from gens_tpu.ops.interp import (combine_mask_cascade, lookup_mask,
+                                 lookup_mask_cascade, safe_norm)
 from gens_tpu.ops.projection import lookup_feature, surface_patch_warp
 from gens_tpu.ops.sampling import SDF_SENTINEL, hierarchical_sample
 
@@ -48,6 +49,15 @@ class Scene:
     imgs: jnp.ndarray
     intrs: jnp.ndarray
     c2ws: jnp.ndarray
+    # pre-OR'd finest-resolution mask (combine_mask_cascade); lazily derived
+    # from mask_volumes when absent
+    mask_any: Any = None
+
+
+def scene_mask_any(scene: "Scene") -> jnp.ndarray:
+    if scene.mask_any is not None:
+        return scene.mask_any
+    return combine_mask_cascade(scene.mask_volumes)
 
 
 def tv_regularization(volumes, mask_volumes) -> jnp.ndarray:
@@ -103,11 +113,11 @@ class Renderer:
                                   method=SDFNetwork.sdf)
         return f
 
-    def masked_sdf_fn(self, params, volumes, mask_volumes):
+    def masked_sdf_fn(self, params, volumes, mask_any):
         raw = self.sdf_fn(params, volumes)
 
         def f(pts):
-            m = lookup_mask_cascade(mask_volumes, pts)
+            m = lookup_mask(mask_any, pts)
             return jnp.where(m > 0, raw(pts), SDF_SENTINEL)
         return f
 
@@ -130,6 +140,7 @@ class Renderer:
         cfg = self.cfg
         R, S = z_vals.shape
         volumes, mask_volumes = scene.volumes, scene.mask_volumes
+        mask_any = scene_mask_any(scene)
 
         dists = z_vals[:, 1:] - z_vals[:, :-1]
         dists = jnp.concatenate(
@@ -141,7 +152,7 @@ class Renderer:
         pts_flat = pts.reshape(-1, 3)
         dirs_flat = dirs.reshape(-1, 3)
 
-        voxel_mask = lookup_mask_cascade(mask_volumes, pts_flat)  # (R*S,)
+        voxel_mask = lookup_mask(mask_any, pts_flat)  # (R*S,)
 
         sdf_out = self.sdf.apply(params["sdf"], pts_flat, volumes)
         sdf = jnp.where(voxel_mask > 0, sdf_out[:, 0], SDF_SENTINEL)  # (R*S,)
@@ -331,7 +342,7 @@ class Renderer:
         z_vals = hierarchical_sample(
             rays_o, rays_d, near, far,
             lambda p: jax.lax.stop_gradient(sdf_fn(p)),
-            scene.mask_volumes,
+            jax.lax.stop_gradient(scene_mask_any(scene)),
             cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
             perturb_key=perturb_key,
         )
@@ -343,7 +354,7 @@ class Renderer:
     def pseudo_sdf(self, params, scene: Scene, pseudo_pts: jnp.ndarray):
         """SDF at back-projected pseudo points, zero outside the voxel mask
         (implicit_surface.py:489-497)."""
-        m = lookup_mask_cascade(scene.mask_volumes, pseudo_pts)
+        m = lookup_mask(scene_mask_any(scene), pseudo_pts)
         sdf = self.sdf.apply(params["sdf"], pseudo_pts, scene.volumes,
                              method=SDFNetwork.sdf)
         return jnp.where(m > 0, sdf, 0.0)[:, None]

@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from gens_tpu.config import SDFNetConfig
 from gens_tpu.models.embedder import positional_encoding, positional_encoding_dim
-from gens_tpu.ops.interp import lookup_volume_cascade
+from gens_tpu.ops.interp import (lookup_volume_cascade,
+                                 lookup_volume_cascade_packed, pack_cascade)
 
 
 class WNLinear(nn.Module):
@@ -145,7 +146,13 @@ class SDFNetwork(nn.Module):
     def __call__(self, pts: jnp.ndarray, volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
         """pts (N, 3) -> (N, d_out): [sdf, latent...]."""
         c = self.cfg
-        feats = lookup_volume_cascade(volumes, pts)
+        if len({v.shape[-1] for v in volumes}) == 1:
+            # fused path: one gather for the whole cascade (and one scatter
+            # in the backward) instead of scales x 8 corners
+            flat, shapes, offsets = pack_cascade(volumes)
+            feats = lookup_volume_cascade_packed(flat, shapes, offsets, pts)
+        else:
+            feats = lookup_volume_cascade(volumes, pts)
         feats = positional_encoding(feats, c.feat_multires)
 
         inputs = positional_encoding(pts * c.scale, c.multires)

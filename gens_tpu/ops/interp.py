@@ -172,6 +172,31 @@ def lookup_mask_cascade(mask_volumes: Sequence[jnp.ndarray], pts: jnp.ndarray) -
     return (jnp.stack(vals, axis=-1) > 0).any(axis=-1).astype(jnp.float32)
 
 
+def combine_mask_cascade(mask_volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Pre-OR the mask cascade into ONE finest-resolution volume so render
+    paths pay a single nearest gather instead of one per scale.
+
+    Each coarse mask is nearest-upsampled (repeat) to the finest grid; the
+    result sampled with ``nearest3d`` reproduces ``lookup_mask_cascade``
+    up to half-voxel alignment at coarse-mask boundaries (the cascade
+    resolutions are power-of-two nested). Returns ``(X0, Y0, Z0)`` float.
+    """
+    fine = mask_volumes[0].astype(jnp.float32)
+    X = fine.shape[0]
+    for m in mask_volumes[1:]:
+        f = X // m.shape[0]
+        up = jnp.repeat(jnp.repeat(jnp.repeat(
+            m.astype(jnp.float32), f, 0), f, 1), f, 2)
+        fine = jnp.maximum(fine, up)
+    return fine
+
+
+def lookup_mask(mask_any: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Single-volume mask lookup (see combine_mask_cascade)."""
+    return (nearest3d(mask_any[..., None], pts)[..., 0] > 0).astype(
+        jnp.float32)
+
+
 def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False,
               eps: float = 1e-12) -> jnp.ndarray:
     """L2 norm with a NaN-free gradient at x == 0.
@@ -182,3 +207,63 @@ def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False,
     eps and the gradient finite (0 at x=0).
     """
     return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
+def pack_cascade(volumes: Sequence[jnp.ndarray]):
+    """Flatten a same-channel volume cascade into one (ΣN_i, C) buffer +
+    static (shapes, offsets) metadata for ``lookup_volume_cascade_packed``."""
+    C = volumes[0].shape[-1]
+    assert all(v.shape[-1] == C for v in volumes)
+    shapes = tuple(v.shape[:3] for v in volumes)
+    offsets = []
+    off = 0
+    for s in shapes:
+        offsets.append(off)
+        off += s[0] * s[1] * s[2]
+    flat = jnp.concatenate([v.reshape(-1, C) for v in volumes], axis=0)
+    return flat, shapes, tuple(offsets)
+
+
+def lookup_volume_cascade_packed(flat: jnp.ndarray, shapes, offsets,
+                                 pts: jnp.ndarray) -> jnp.ndarray:
+    """Fused cascade trilerp: ALL scales' corner reads go through ONE gather
+    into the packed buffer (5 scales x 8 corners = 40 takes collapse to 1 —
+    and their transpose to 1 scatter in the backward). Numerically identical
+    to ``lookup_volume_cascade``; TPU gathers amortize much better at one
+    large index vector.
+    """
+    N = pts.shape[0]
+    idx_all = []
+    w_all = []
+    for (X, Y, Z), off in zip(shapes, offsets):
+        x = _unnormalize(pts[..., 0], X)
+        y = _unnormalize(pts[..., 1], Y)
+        z = _unnormalize(pts[..., 2], Z)
+        x0f = jnp.floor(jax.lax.stop_gradient(x))
+        y0f = jnp.floor(jax.lax.stop_gradient(y))
+        z0f = jnp.floor(jax.lax.stop_gradient(z))
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        z0 = z0f.astype(jnp.int32)
+        wx1, wy1, wz1 = x - x0f, y - y0f, z - z0f
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    ix, iy, iz = x0 + dx, y0 + dy, z0 + dz
+                    valid = ((ix >= 0) & (ix < X) & (iy >= 0) & (iy < Y)
+                             & (iz >= 0) & (iz < Z))
+                    ixc = jnp.clip(ix, 0, X - 1)
+                    iyc = jnp.clip(iy, 0, Y - 1)
+                    izc = jnp.clip(iz, 0, Z - 1)
+                    idx_all.append(off + (ixc * Y + iyc) * Z + izc)
+                    wx = wx1 if dx else (1.0 - wx1)
+                    wy = wy1 if dy else (1.0 - wy1)
+                    wz = wz1 if dz else (1.0 - wz1)
+                    w_all.append((wx * wy * wz) * valid.astype(flat.dtype))
+
+    idx = jnp.stack(idx_all).reshape(-1)              # (S*8*N,)
+    w = jnp.stack(w_all)                              # (S*8, N)
+    vals = jnp.take(flat, idx, axis=0)                # ONE gather
+    vals = vals.reshape(len(shapes), 8, N, flat.shape[-1])
+    out = jnp.sum(vals * w.reshape(len(shapes), 8, N, 1), axis=1)  # (S, N, C)
+    return jnp.moveaxis(out, 0, 1).reshape(N, -1)     # (N, S*C)

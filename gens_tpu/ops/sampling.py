@@ -16,7 +16,7 @@ from typing import Callable, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from gens_tpu.ops.interp import lookup_mask_cascade
+from gens_tpu.ops.interp import lookup_mask_cascade, lookup_mask
 
 # out-of-volume SDF sentinel (reference implicit_surface.py:125,181: sdf=100)
 SDF_SENTINEL = 100.0
@@ -56,15 +56,16 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
 
 
 def up_sample_weights(pts: jnp.ndarray, z_vals: jnp.ndarray, sdf: jnp.ndarray,
-                      mask_volumes: Sequence[jnp.ndarray], inv_s: float) -> jnp.ndarray:
+                      mask_any: jnp.ndarray, inv_s: float) -> jnp.ndarray:
     """Section weights for one NeuS up-sampling round at fixed ``inv_s``.
 
-    pts: (R, S, 3) the sample points; z_vals: (R, S); sdf: (R, S).
+    pts: (R, S, 3) the sample points; z_vals: (R, S); sdf: (R, S);
+    mask_any: combined finest-resolution mask volume.
     Reference implicit_surface.py:60-107. Returns weights (R, S-1).
     """
     R, S = z_vals.shape
 
-    voxel_mask = lookup_mask_cascade(mask_volumes, pts.reshape(-1, 3))
+    voxel_mask = lookup_mask(mask_any, pts.reshape(-1, 3))
     voxel_mask = voxel_mask.reshape(R, S)
     seg_mask = voxel_mask[:, :-1] * voxel_mask[:, 1:]
 
@@ -114,7 +115,7 @@ def hierarchical_sample(
     near: jnp.ndarray,
     far: jnp.ndarray,
     sdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
-    mask_volumes: Sequence[jnp.ndarray],
+    mask_any: jnp.ndarray,
     n_samples: int,
     n_importance: int,
     up_sample_steps: int,
@@ -142,7 +143,7 @@ def hierarchical_sample(
 
     def masked_sdf(pts_flat):
         sdf = sdf_fn(pts_flat)
-        m = lookup_mask_cascade(mask_volumes, pts_flat)
+        m = lookup_mask(mask_any, pts_flat)
         return jnp.where(m > 0, sdf, SDF_SENTINEL)
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
@@ -150,7 +151,7 @@ def hierarchical_sample(
 
     n_per_step = n_importance // up_sample_steps
     for i in range(up_sample_steps):
-        weights = up_sample_weights(pts, z_vals, sdf, mask_volumes, 64.0 * 2 ** i)
+        weights = up_sample_weights(pts, z_vals, sdf, mask_any, 64.0 * 2 ** i)
         new_z = sample_pdf(z_vals, weights, n_per_step)
         new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
         if i + 1 < up_sample_steps:

@@ -52,7 +52,7 @@ def test_hierarchical_sample_concentrates_near_surface():
     # analytic sphere SDF, rays from outside through the center: importance
     # samples must cluster near the two surface crossings.
     radius = 0.5
-    mask = [jnp.ones((8, 8, 8))]
+    mask = jnp.ones((8, 8, 8))
 
     def sdf_fn(pts):
         return jnp.linalg.norm(pts, axis=-1) - radius
@@ -76,7 +76,7 @@ def test_hierarchical_sample_concentrates_near_surface():
 def test_hierarchical_sample_respects_voxel_mask():
     # fully masked-out volume -> SDF treated as sentinel, sampling still
     # returns finite sorted values (no NaNs from empty weights)
-    mask = [jnp.zeros((4, 4, 4))]
+    mask = jnp.zeros((4, 4, 4))
 
     def sdf_fn(pts):
         return jnp.linalg.norm(pts, axis=-1) - 0.5
