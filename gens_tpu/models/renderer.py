@@ -364,3 +364,16 @@ class Renderer:
         (implicit_surface.py:407-427 evaluates -sdf)."""
         return -self.sdf.apply(params["sdf"], pts_block, volumes,
                                method=SDFNetwork.sdf)
+
+    def sdf_fn_for_extraction(self, params, volumes):
+        """Gradient-free SDF function for dense grid evaluation: the fused
+        Pallas MLP kernel on TPU (ops/pallas_mlp.py), the jnp path
+        elsewhere."""
+        if jax.default_backend() != "cpu":
+            try:
+                from gens_tpu.ops.pallas_mlp import sdf_fused_fn
+
+                return sdf_fused_fn(params["sdf"], self.sdf.cfg, volumes)
+            except Exception:
+                pass
+        return self.sdf_fn(params, volumes)

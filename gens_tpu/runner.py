@@ -206,7 +206,8 @@ class Runner:
             h, w = int(raw["hw"][0]), int(raw["hw"][1])
 
             if extract_mesh:
-                sdf_fn = self.model.renderer.sdf_fn(params, scene.volumes)
+                sdf_fn = self.model.renderer.sdf_fn_for_extraction(
+                    params, scene.volumes)
                 verts, tris = extract_geometry(
                     sdf_fn, raw["bound_min"], raw["bound_max"],
                     resolution=cfg.mesh_resolution)
@@ -387,7 +388,8 @@ class Runner:
             imgs=inputs["imgs"], intrs=inputs["intrs"], c2ws=inputs["c2ws"])
         params = {k: ft_params[k] for k in ("sdf", "blending", "variance")}
 
-        sdf_fn = self.model.renderer.sdf_fn(params, scene.volumes)
+        sdf_fn = self.model.renderer.sdf_fn_for_extraction(
+            params, scene.volumes)
         verts, tris = extract_geometry(
             sdf_fn, raw["bound_min"], raw["bound_max"],
             resolution=self.cfg.mesh_resolution)
