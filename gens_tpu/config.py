@@ -60,6 +60,9 @@ class SDFNetConfig:
     inside_outside: bool = False
     feat_channels: int = 20  # 5 scales x 4 channels of volume features
     feat_multires: int = 2
+    # dtype of the volume cascade inside the trilerp gather; bfloat16 halves
+    # the gather traffic of the hottest op (lerp/MLP still run f32)
+    volume_dtype: str = "float32"
 
 
 @dataclass

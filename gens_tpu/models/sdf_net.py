@@ -150,7 +150,10 @@ class SDFNetwork(nn.Module):
             # fused path: one gather for the whole cascade (and one scatter
             # in the backward) instead of scales x 8 corners
             flat, shapes, offsets = pack_cascade(volumes)
+            if c.volume_dtype == "bfloat16":
+                flat = flat.astype(jnp.bfloat16)
             feats = lookup_volume_cascade_packed(flat, shapes, offsets, pts)
+            feats = feats.astype(jnp.float32)
         else:
             feats = lookup_volume_cascade(volumes, pts)
         feats = positional_encoding(feats, c.feat_multires)

@@ -85,14 +85,15 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
 
     def make_device_fn(use_match_features: bool):
       def device_fn(params, opt_state, step, imgs, intrs, c2ws, view_valid,
-                    rays_o, rays_d, near, far, color, pseudo_pts, key,
-                    cos_anneal_ratio):
+                    rays_o, rays_d, near, far, color, pseudo_pts,
+                    pseudo_depth, key, cos_anneal_ratio):
           # local shards arrive with a leading data-block dim of 1 — drop it
           imgs, intrs, c2ws = imgs[0], intrs[0], c2ws[0]
           view_valid = view_valid[0]
           rays_o, rays_d, color = rays_o[0], rays_d[0], color[0]
           near, far = near[0], far[0]
           pseudo_pts = pseudo_pts[0]
+          pseudo_depth = pseudo_depth[0]
 
           d_idx = jax.lax.axis_index("data")
           v_idx = jax.lax.axis_index("view")
@@ -134,6 +135,8 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
                       params, scene, pseudo_pts)
 
               targets = {"color": color}
+              if use_pseudo:
+                  targets["pseudo_depth"] = pseudo_depth
               losses = compute_losses(outputs, targets, cfg.train.loss,
                                       axis_name="view")
 
@@ -164,6 +167,7 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
         data_sharded, data_sharded,  # near, far
         dv_sharded,               # color
         dv_sharded,               # pseudo_pts
+        dv_sharded,               # pseudo_depth
         P(), P(),                 # key, anneal (replicated)
     )
     out_specs = (P(), P(), P(), P())
@@ -189,6 +193,8 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
             inputs.get("pseudo_pts",
                        jnp.zeros((inputs["color"].shape[0],
                                   mesh.shape["view"], 3))),
+            inputs.get("pseudo_depth",
+                       jnp.zeros(inputs["color"].shape[:2])),
             key, cos_anneal_ratio)
         return TrainState(params, opt_state, step), metrics
 

@@ -119,6 +119,12 @@ class Runner:
                                jnp.asarray(ckpt["step"], jnp.int32))
             start_epoch = ckpt["epoch"] + 1
 
+        n_data = cfg.parallel.data
+        n_view = cfg.parallel.view
+        if n_data * n_view > 1:
+            return self._train_sharded(dataset, state, start_epoch,
+                                       n_data, n_view)
+
         _, step_fn = make_train_step(self.model, cfg, steps_per_epoch)
 
         for epoch in range(start_epoch, cfg.train.epochs):
@@ -143,6 +149,58 @@ class Runner:
                                     epoch * steps_per_epoch + batch)
             self.logger.log("train_avg", avg.avg_data, epoch)
 
+            if ((epoch + 1) % cfg.train.save_freq == 0
+                    or epoch + 1 >= cfg.train.epochs):
+                save_checkpoint(
+                    os.path.join(self.exp_dir, "checkpoints",
+                                 f"model_{epoch:03d}.ckpt"),
+                    {"epoch": epoch, "step": int(state.step),
+                     "params": state.params, "opt_state": state.opt_state})
+            if (epoch + 1) % cfg.train.val_freq == 0:
+                self.validate(state.params, epoch)
+        self.state = state
+
+    def _train_sharded(self, dataset, state, start_epoch, n_data, n_view):
+        """Multi-chip training over a (data, view) mesh: each step consumes
+        ``n_data`` scenes; views and rays shard over the view axis."""
+        from gens_tpu.parallel.sharded import (make_mesh,
+                                               make_sharded_train_step,
+                                               pad_views)
+
+        cfg = self.cfg
+        mesh = make_mesh(n_data, n_view)
+        steps_per_epoch = max(len(dataset) // n_data, 1)
+        use_pseudo = cfg.train.loss.pseudo_sdf_weight > 0
+
+        step_fn = None
+        for epoch in range(start_epoch, cfg.train.epochs):
+            if epoch % cfg.model.match_sync_every == 0:
+                params = sync_match_features(state.params)
+                state = TrainState(params, state.opt_state, state.step)
+            avg = DictAverageMeter()
+            order = self.rng.permutation(len(dataset))
+            t0 = time.time()
+            for batch in range(steps_per_epoch):
+                idxs = order[batch * n_data:(batch + 1) * n_data]
+                items = [dataset[int(i)] for i in idxs]
+                common = set(items[0]).intersection(*[set(it) for it in items])
+                stacked = {
+                    k: jnp.stack([jnp.asarray(it[k]) for it in items])
+                    for k in common
+                    if isinstance(items[0][k], np.ndarray)
+                }
+                stacked, n_views = pad_views(stacked, n_view)
+                if step_fn is None:
+                    step_fn = make_sharded_train_step(
+                        self.model, cfg, mesh, n_views=n_views,
+                        steps_per_epoch=steps_per_epoch,
+                        use_pseudo=use_pseudo and "pseudo_pts" in stacked)
+                frac = epoch + batch / steps_per_epoch
+                anneal = cos_anneal_ratio(frac, cfg.train.anneal_end)
+                state, metrics = step_fn(state, stacked, self._next_key(),
+                                         anneal, use_match_features=frac >= 5)
+                avg.update(tensor2float(metrics))
+            self.logger.log("train_avg", avg.avg_data, epoch)
             if ((epoch + 1) % cfg.train.save_freq == 0
                     or epoch + 1 >= cfg.train.epochs):
                 save_checkpoint(

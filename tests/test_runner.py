@@ -88,3 +88,30 @@ def test_finetune_volume_init_and_step(runner_setup):
     delta = np.abs(np.asarray(new_params["volumes"][0])
                    - np.asarray(ft_params["volumes"][0])).max()
     assert delta > 0
+
+
+def test_train_sharded_one_epoch(runner_setup):
+    """Multi-chip Runner.train path on a 2x2 virtual CPU mesh: one epoch of
+    the sharded step over synthetic scenes, checkpoint written."""
+    import dataclasses
+    import jax.numpy as jnp
+    from gens_tpu.train.step import init_train_state
+
+    cfg, runner, _ = runner_setup
+    cfg = dataclasses.replace(cfg)
+    cfg.parallel.data = 2
+    cfg.parallel.view = 2
+    cfg.train.epochs = 1
+    cfg.train.save_freq = 1
+    cfg.train.val_freq = 100
+    cfg.model.render.perturb = 0.0
+
+    dataset = SyntheticDataset(n_scenes=2, hw=(64, 64), n_rays=32,
+                               mode="train")
+    state, _ = init_train_state(runner.model, cfg, jax.random.PRNGKey(0),
+                                steps_per_epoch=1)
+    runner.cfg = cfg
+    runner._train_sharded(dataset, state, 0, 2, 2)
+    assert int(runner.state.step) == 1
+    ckpts = glob.glob(os.path.join(runner.exp_dir, "checkpoints", "*.ckpt"))
+    assert ckpts
