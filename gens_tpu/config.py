@@ -63,6 +63,11 @@ class SDFNetConfig:
     # dtype of the volume cascade inside the trilerp gather; bfloat16 halves
     # the gather traffic of the hottest op (lerp/MLP still run f32)
     volume_dtype: str = "float32"
+    # fuse the 5-scale lookup into one packed gather. Measured SLOWER on
+    # v5e inside the render (the merged backward scatter serializes worse
+    # than per-scale scatters: 7.2k -> 5.0k rays/s), so off by default;
+    # kept for gradient-free paths and future hardware
+    fused_cascade: bool = False
 
 
 @dataclass

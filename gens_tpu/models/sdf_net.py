@@ -146,7 +146,7 @@ class SDFNetwork(nn.Module):
     def __call__(self, pts: jnp.ndarray, volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
         """pts (N, 3) -> (N, d_out): [sdf, latent...]."""
         c = self.cfg
-        if len({v.shape[-1] for v in volumes}) == 1:
+        if c.fused_cascade and len({v.shape[-1] for v in volumes}) == 1:
             # fused path: one gather for the whole cascade (and one scatter
             # in the backward) instead of scales x 8 corners
             flat, shapes, offsets = pack_cascade(volumes)
@@ -155,7 +155,10 @@ class SDFNetwork(nn.Module):
             feats = lookup_volume_cascade_packed(flat, shapes, offsets, pts)
             feats = feats.astype(jnp.float32)
         else:
+            if c.volume_dtype == "bfloat16":
+                volumes = [v.astype(jnp.bfloat16) for v in volumes]
             feats = lookup_volume_cascade(volumes, pts)
+            feats = feats.astype(jnp.float32)
         feats = positional_encoding(feats, c.feat_multires)
 
         inputs = positional_encoding(pts * c.scale, c.multires)
