@@ -35,6 +35,10 @@ class VolumeConfig:
     # a voxel is valid if seen by strictly more than this many views
     # (reference models/modules/volume.py:58)
     min_vis_view: int = 1
+    # dtype of the emitted raw volumes ("float32" | "bfloat16"); per-view
+    # sums always accumulate in fp32. bf16 halves the 256³ mean/var cascade
+    # and makes its autodiff cotangents half-width too.
+    dtype: str = "float32"
 
 
 @dataclass
@@ -43,6 +47,10 @@ class RegNetConfig:
     d_volume: Tuple[int, ...] = (8, 8, 8, 8, 8)
     d_out: Tuple[int, ...] = (4, 4, 4, 4, 4)
     d_base: int = 8
+    # activation dtype for the U-Net ("float32" | "bfloat16"); params stay
+    # fp32, norm statistics accumulate in fp32. bf16 halves the dominant
+    # 256³ activation/residual buffers (HBM is the constraint on one chip).
+    dtype: str = "float32"
 
 
 @dataclass

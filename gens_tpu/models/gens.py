@@ -109,8 +109,14 @@ class GenSModel:
         raw_vols, mask_vols = agg_mean_var(
             features, intrs, c2ws, self.cfg.volume.volume_dims,
             min_vis_view=self.cfg.volume.min_vis_view,
-            axis_name=axis_name, view_valid=view_valid)
-        reg_out = self.reg_net.apply(params["reg"], [v[None] for v in raw_vols])
+            axis_name=axis_name, view_valid=view_valid,
+            out_dtype=(jnp.bfloat16 if self.cfg.volume.dtype == "bfloat16"
+                       else None))
+        # remat: the U-Net's 256³ activations are cheap to recompute (~60 ms)
+        # and expensive to keep across the whole render backward (~2 GB)
+        reg_apply = jax.checkpoint(
+            lambda p, vols: self.reg_net.apply(p, [v[None] for v in vols]))
+        reg_out = reg_apply(params["reg"], list(raw_vols))
         volumes = [v[0] for v in reg_out]
         return volumes, mask_vols
 

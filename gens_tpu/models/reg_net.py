@@ -28,19 +28,15 @@ from flax import linen as nn
 from gens_tpu.config import RegNetConfig
 
 
-def _x_stack(x: jnp.ndarray) -> jnp.ndarray:
-    """(X, Y, Z, C) -> (X, Y, Z, 3C): channels hold the x+1 / x / x-1
-    neighborhood (zero padded at the ends)."""
-    zeros = jnp.zeros_like(x[:1])
-    up = jnp.concatenate([x[1:], zeros], axis=0)
-    down = jnp.concatenate([zeros, x[:-1]], axis=0)
-    return jnp.concatenate([up, x, down], axis=-1)
-
-
 class Conv3dBlock(nn.Module):
-    """3x3x3 conv via x-stacked 2D conv (+ optional InstanceNorm+ReLU).
+    """3x3x3 conv via three x-shifted 2D convs (+ optional InstanceNorm+ReLU).
 
-    Operates UNBATCHED: x (X, Y, Z, C)."""
+    The x-neighborhood term ``y[i] = conv2d(x[i+1], w_up) + conv2d(x[i], w_mid)
+    + conv2d(x[i-1], w_dn)`` is computed as three full-X 2D convs followed by
+    X-shifts — identical to convolving an x-stacked (X, Y, Z, 3C) tensor
+    (same parameter shape), but never materializes the 3x-channel copy, which
+    at 256³ x 8ch fp32 is a 3.2 GB buffer XLA keeps as a conv backward
+    residual. Operates UNBATCHED: x (X, Y, Z, C)."""
 
     features: int
     stride: int = 1
@@ -48,22 +44,43 @@ class Conv3dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        xm = _x_stack(x)
-        in_ch = xm.shape[-1]
+        in_ch = 3 * x.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, in_ch, self.features))
-        y = jax.lax.conv_general_dilated(
-            xm, w, (self.stride, self.stride), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        w = w.astype(x.dtype)
+        C = x.shape[-1]
+        w_up, w_mid, w_dn = w[:, :, :C], w[:, :, C:2 * C], w[:, :, 2 * C:]
+
+        def c2d(inp, k):
+            return jax.lax.conv_general_dilated(
+                inp, k, (self.stride, self.stride), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        cu, cm, cd = c2d(x, w_up), c2d(x, w_mid), c2d(x, w_dn)
+        zero = jnp.zeros_like(cm[:1])
+        # xm[i] held [x[i+1], x[i], x[i-1]]: shift conv(x, w_up) down-by-one
+        # in index (y[i] += cu[i+1]) and conv(x, w_dn) up (y[i] += cd[i-1]);
+        # the zero-pad rows equal conv2d(0) = 0 (no bias inside the conv).
+        y = (jnp.concatenate([cu[1:], zero], axis=0) + cm
+             + jnp.concatenate([zero, cd[:-1]], axis=0))
         if self.stride == 2:
             y = y[::2]
         if not self.norm_relu:
             b = self.param("bias", nn.initializers.zeros_init(),
                            (self.features,))
-            return y + b
-        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(y, axis=(0, 1, 2), keepdims=True)
-        y = (y - mean) / jnp.sqrt(var + 1e-5)
+            return y + b.astype(y.dtype)
+        # InstanceNorm: per-channel statistics via fp32-ACCUMULATING
+        # reductions over the activation dtype (E[y²]−E[y]²). Subtracting the
+        # mean elementwise in fp32 first would materialize full-volume fp32
+        # intermediates (and autodiff would keep `y−mean` as a 537 MB
+        # residual per block at 256³); this form keeps every big buffer in
+        # the activation dtype.
+        mean = jnp.mean(y, axis=(0, 1, 2), keepdims=True, dtype=jnp.float32)
+        meansq = jnp.mean(jnp.square(y), axis=(0, 1, 2), keepdims=True,
+                          dtype=jnp.float32)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        scale = jax.lax.rsqrt(var + 1e-5)
+        y = (y - mean.astype(y.dtype)) * scale.astype(y.dtype)
         return nn.relu(y)
 
 
@@ -91,28 +108,35 @@ class RegNetwork(nn.Module):
         c = self.cfg
         n = len(c.d_out)
         assert len(volumes) == n
-        vols = [v[0] for v in volumes]  # drop the singleton batch dim
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        vols = [v[0].astype(dt) for v in volumes]  # drop the singleton batch
+
+        # per-block remat: only block BOUNDARIES survive as autodiff
+        # residuals; each block's conv inputs / norm intermediates are
+        # recomputed in its backward (they dominate memory at 256³)
+        Block = nn.remat(Conv3dBlock)
+        Up = nn.remat(Upsample3dBlock)
 
         e_outs = []
-        e = Conv3dBlock(c.d_base)(vols[0])  # conv0, reg_network.py:118
+        e = Block(c.d_base)(vols[0])  # conv0, reg_network.py:118
         e_outs.append(e)
         for i in range(n):
             dim_m = c.d_base * 2 ** i
-            e = Conv3dBlock(dim_m, stride=2)(e)
-            e = Conv3dBlock(dim_m)(e)
+            e = Block(dim_m, stride=2)(e)
+            e = Block(dim_m)(e)
             e_outs.append(e)
             if i < n - 1:
                 e = jnp.concatenate([e, vols[i + 1]], axis=-1)
 
         d_outs = [e_outs[-1]]
         for i in range(n - 1, -1, -1):
-            d = Upsample3dBlock(c.d_base * 2 ** max(i - 1, 0))(d_outs[-1]) \
+            d = Up(c.d_base * 2 ** max(i - 1, 0))(d_outs[-1]) \
                 + e_outs[i]
             d_outs.append(d)
         d_outs = d_outs[::-1]
 
         outs = tuple(
-            Conv3dBlock(c.d_out[i], norm_relu=False)(d_outs[i])[None]
+            Block(c.d_out[i], norm_relu=False)(d_outs[i])[None]
             for i in range(n)
         )
         return outs

@@ -69,9 +69,13 @@ def tv_regularization(volumes, mask_volumes) -> jnp.ndarray:
         mx = (m[1:] * m[:-1]) > 0
         my = (m[:, 1:] * m[:, :-1]) > 0
         mz = (m[:, :, 1:] * m[:, :, :-1]) > 0
-        tx = jnp.sum((vol[1:] - vol[:-1]) ** 2 * mx) / (mx.sum() + 1e-8)
-        ty = jnp.sum((vol[:, 1:] - vol[:, :-1]) ** 2 * my) / (my.sum() + 1e-8)
-        tz = jnp.sum((vol[:, :, 1:] - vol[:, :, :-1]) ** 2 * mz) / (mz.sum() + 1e-8)
+        # fp32 accumulation: the volumes may be bf16-resident
+        tx = jnp.sum((vol[1:] - vol[:-1]) ** 2 * mx,
+                     dtype=jnp.float32) / (mx.sum() + 1e-8)
+        ty = jnp.sum((vol[:, 1:] - vol[:, :-1]) ** 2 * my,
+                     dtype=jnp.float32) / (my.sum() + 1e-8)
+        tz = jnp.sum((vol[:, :, 1:] - vol[:, :, :-1]) ** 2 * mz,
+                     dtype=jnp.float32) / (mz.sum() + 1e-8)
         total = total + jnp.sqrt(tx + ty + tz + 1e-12) * 0.5 ** i
     return total
 

@@ -43,7 +43,8 @@ def voxel_grid(dim: int, dtype=jnp.float32) -> jnp.ndarray:
 def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                     dim: int, scale_idx: int, min_vis_view: int = 1,
                     axis_name: Optional[str] = None,
-                    view_valid: Optional[jnp.ndarray] = None):
+                    view_valid: Optional[jnp.ndarray] = None,
+                    out_dtype=None):
     """One cascade scale.
 
     feat: (V, H_i, W_i, C) view features at scale ``scale_idx``;
@@ -55,68 +56,92 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
     ``mask (dim, dim, dim)`` float.
     """
     V, H, W, C = feat.shape
-    pts = voxel_grid(dim, feat.dtype)  # (N, 3)
     intrs_i = scale_intrinsics(intrs, scale_idx)
-
-    def warp_one(feat_v, intr_v, c2w_v):
-        with jax.default_matmul_precision("highest"):
-            w2c = jnp.linalg.inv(c2w_v)
-            cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
-            uvw = cam @ intr_v.T
-        xy = uvw[:, :2] / (uvw[:, 2:] + 1e-8)
-        # in-image test in normalized coords (volume.py:43): |norm| <= 1 and
-        # depth > 0 (slightly wider than a strict pixel-box test)
-        nx = xy[:, 0] / ((W - 1) / 2.0) - 1.0
-        ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
-        mask = (jnp.abs(nx) <= 1) & (jnp.abs(ny) <= 1) & (cam[:, 2] > 0)
-        vals = bilerp(feat_v, xy)  # (N, C), zero outside
-        return vals, mask.astype(feat.dtype)
-
-    # Accumulate over views with a scan rather than a vmap: at 256³ x 5
-    # views the per-corner gather buffers of a vmapped bilerp would hold
-    # V x N x C floats several times over and blow HBM; the scan bounds the
-    # peak to ONE view's gathers while XLA still pipelines the loop.
-    N = pts.shape[0]
+    out_dtype = out_dtype or feat.dtype
     valid = (jnp.ones((V,), feat.dtype) if view_valid is None
              else view_valid.astype(feat.dtype))
 
-    def body(carry, xs):
-        s, ss, ms = carry
-        feat_v, intr_v, c2w_v, valid_v = xs
-        vals, mask = warp_one(feat_v, intr_v, c2w_v)
-        mask = mask * valid_v
-        vm = vals * mask[..., None]
-        return (s + vm, ss + vm ** 2, ms + mask), None
+    # Every voxel is independent, so the grid is processed in contiguous
+    # x-SLABS under a lax.scan: peak HBM is ONE slab's fp32 accumulators and
+    # gather transients (~2M points) plus the bf16/fp32 output volume the
+    # scan writes into — instead of full-volume (16.7M, C) fp32 sums,
+    # per-view contributions, and mean/var intermediates all live at once
+    # (measured ~6 GB fwd / ~10 GB fwd+bwd at 256³ x 5 views unslabbed;
+    # HBM pressure, not FLOPs, is what made the reference-scale step slow
+    # on a 16 GB chip).
+    #
+    # remat on the per-view contribution keeps autodiff residuals to the
+    # already-live inputs: its outputs feed only additions (whose VJP needs
+    # no primals); gathers, lerp weights, and the vm² square are recomputed
+    # in the backward pass of each slab.
+    r = jax.lax.optimization_barrier(
+        jnp.linspace(-1.0, 1.0, dim, dtype=feat.dtype))
+    slab = max(1, min(dim, (2 ** 21) // (dim * dim)))
+    while dim % slab:
+        slab -= 1
+    n_slabs = dim // slab
+    gy, gz = jnp.meshgrid(r, r, indexing="ij")  # (dim, dim)
 
-    # under shard_map the scanned-over view tensors are device-varying and
-    # the zero carry must carry the same varying-axes type; deriving the
-    # zeros from the inputs propagates it for any enclosing mesh axes
-    zero = jnp.sum(feat[0, 0, 0]) * 0 + jnp.sum(c2ws[0, 0]) * 0 \
-        + jnp.sum(intrs_i[0, 0]) * 0 + jnp.sum(valid[0]) * 0
-    init = (jnp.zeros((N, C), feat.dtype) + zero,
-            jnp.zeros((N, C), feat.dtype) + zero,
-            jnp.zeros((N,), feat.dtype) + zero)
-    (warp_sum, warp_sq_sum, mask_sum), _ = jax.lax.scan(
-        body, init, (feat, intrs_i, c2ws, valid))
+    def slab_body(carry, xs_r):
+        pts = jnp.stack([
+            jnp.broadcast_to(xs_r[:, None, None], (slab, dim, dim)),
+            jnp.broadcast_to(gy[None], (slab, dim, dim)),
+            jnp.broadcast_to(gz[None], (slab, dim, dim)),
+        ], axis=-1).reshape(-1, 3)
+        Ns = pts.shape[0]
 
-    if axis_name is not None:
-        warp_sum = jax.lax.psum(warp_sum, axis_name)
-        warp_sq_sum = jax.lax.psum(warp_sq_sum, axis_name)
-        mask_sum = jax.lax.psum(mask_sum, axis_name)
+        @jax.checkpoint
+        def contribution(feat_v, intr_v, c2w_v, valid_v):
+            with jax.default_matmul_precision("highest"):
+                w2c = jnp.linalg.inv(c2w_v)
+                cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+                uvw = cam @ intr_v.T
+            xy = uvw[:, :2] / (uvw[:, 2:] + 1e-8)
+            # in-image test in normalized coords (volume.py:43): |norm| <= 1
+            # and depth > 0 (slightly wider than a strict pixel-box test)
+            nx = xy[:, 0] / ((W - 1) / 2.0) - 1.0
+            ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
+            mask = (jnp.abs(nx) <= 1) & (jnp.abs(ny) <= 1) & (cam[:, 2] > 0)
+            mask = mask.astype(feat.dtype) * valid_v
+            vals = bilerp(feat_v, xy)  # (Ns, C), zero outside
+            vm = vals * mask[..., None]
+            return vm, vm ** 2, mask
 
-    denom = jnp.where(mask_sum <= 0, 1e-8, mask_sum)[..., None]
-    mean = warp_sum / denom
-    var = warp_sq_sum / denom - mean ** 2
+        warp_sum = jnp.zeros((Ns, C), jnp.float32)
+        warp_sq_sum = jnp.zeros((Ns, C), jnp.float32)
+        mask_sum = jnp.zeros((Ns,), jnp.float32)
+        for v in range(V):
+            vm, vm2, m = contribution(feat[v], intrs_i[v], c2ws[v], valid[v])
+            warp_sum = warp_sum + vm.astype(jnp.float32)
+            warp_sq_sum = warp_sq_sum + vm2.astype(jnp.float32)
+            mask_sum = mask_sum + m.astype(jnp.float32)
 
-    volume = jnp.concatenate([mean, var], axis=-1).reshape(dim, dim, dim, 2 * C)
-    mask_volume = (mask_sum > min_vis_view).astype(feat.dtype).reshape(dim, dim, dim)
+        if axis_name is not None:
+            warp_sum = jax.lax.psum(warp_sum, axis_name)
+            warp_sq_sum = jax.lax.psum(warp_sq_sum, axis_name)
+            mask_sum = jax.lax.psum(mask_sum, axis_name)
+
+        denom = jnp.where(mask_sum <= 0, 1e-8, mask_sum)[..., None]
+        mean = warp_sum / denom
+        var = warp_sq_sum / denom - mean ** 2
+
+        vol_slab = jnp.concatenate([mean, var], axis=-1).astype(
+            out_dtype).reshape(slab, dim, dim, 2 * C)
+        mask_slab = (mask_sum > min_vis_view).astype(
+            jnp.float32).reshape(slab, dim, dim)
+        return carry, (vol_slab, mask_slab)
+
+    _, (vols, masks) = jax.lax.scan(slab_body, None, r.reshape(n_slabs, slab))
+    volume = vols.reshape(dim, dim, dim, 2 * C)
+    mask_volume = masks.reshape(dim, dim, dim)
     return volume, mask_volume
 
 
 def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
                  c2ws: jnp.ndarray, volume_dims: Sequence[int],
                  min_vis_view: int = 1, axis_name: Optional[str] = None,
-                 view_valid: Optional[jnp.ndarray] = None
+                 view_valid: Optional[jnp.ndarray] = None,
+                 out_dtype=None
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Build the full cascade. ``features[i]``: (V, H_i, W_i, C) fine-to-coarse.
 
@@ -128,7 +153,7 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
         vol, m = aggregate_scale(
             features[i], intrs, c2ws, dim, i,
             min_vis_view=min_vis_view, axis_name=axis_name,
-            view_valid=view_valid,
+            view_valid=view_valid, out_dtype=out_dtype,
         )
         volumes.append(vol)
         masks.append(m)
