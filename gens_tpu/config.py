@@ -39,6 +39,11 @@ class VolumeConfig:
     # sums always accumulate in fp32. bf16 halves the 256³ mean/var cascade
     # and makes its autodiff cotangents half-width too.
     dtype: str = "float32"
+    # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
+    # (learned softmax weighting — the reference's dead agg_adaptive made
+    # functional; emits C channels/scale, so set reg_network.d_volume to
+    # match)
+    agg: str = "mean_var"
 
 
 @dataclass
@@ -51,6 +56,9 @@ class RegNetConfig:
     # fp32, norm statistics accumulate in fp32. bf16 halves the dominant
     # 256³ activation/residual buffers (HBM is the constraint on one chip).
     dtype: str = "float32"
+    # bottleneck transformer over the coarsest encoder level (the
+    # reference's commented-out GlobalAttn, reg_network.py:138,153)
+    use_global_attn: bool = False
 
 
 @dataclass
@@ -82,6 +90,16 @@ class SDFNetConfig:
 class BlendingNetConfig:
     d_feature: int = 20
     anti_alias_pooling: bool = True
+    # color head: "blending" (IBRNet source-view blending, the reference's
+    # live path) or "idr" (surface-light-field MLP on the SDF latent — the
+    # reference's never-instantiated RenderingNetwork made functional; useful
+    # when no source-view features exist to blend)
+    head: str = "blending"
+    # idr-head hyperparameters (reference rendering_network.py:90-151)
+    idr_mode: str = "idr"  # idr | no_view_dir | no_normal
+    idr_d_hidden: int = 256
+    idr_n_layers: int = 4
+    idr_multires_view: int = 4
 
 
 @dataclass

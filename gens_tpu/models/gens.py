@@ -28,7 +28,7 @@ from gens_tpu.models.feature_net import FeatureNetwork
 from gens_tpu.models.reg_net import RegNetwork
 from gens_tpu.models.renderer import Renderer, Scene
 from gens_tpu.models.sdf_net import SDFNetwork
-from gens_tpu.models.volume import agg_mean_var
+from gens_tpu.models.volume import AdaptiveAgg, agg_mean_var
 
 
 class GenSModel:
@@ -40,12 +40,25 @@ class GenSModel:
             self.feature_net = MnasNetFeatureNetwork(cfg.feature_network)
         else:
             self.feature_net = FeatureNetwork(cfg.feature_network)
+        self.adaptive_agg = (AdaptiveAgg(n_scales=len(cfg.volume.volume_dims))
+                             if cfg.volume.agg == "adaptive" else None)
         self.reg_net = RegNetwork(cfg.reg_network)
         self.sdf_net = SDFNetwork(cfg.sdf_network)
-        self.blending_net = BlendingNetwork(cfg.color_network)
+        if cfg.color_network.head == "idr":
+            from gens_tpu.models.rendering_net import RenderingNetwork
+
+            self.blending_net = RenderingNetwork(
+                d_feature=cfg.sdf_network.d_out - 1,
+                mode=cfg.color_network.idr_mode,
+                d_hidden=cfg.color_network.idr_d_hidden,
+                n_layers=cfg.color_network.idr_n_layers,
+                multires_view=cfg.color_network.idr_multires_view)
+        else:
+            self.blending_net = BlendingNetwork(cfg.color_network)
         self.variance_net = SingleVarianceNetwork(cfg.variance_network.init_val)
         self.renderer = Renderer(
-            self.sdf_net, self.blending_net, self.variance_net, cfg.render)
+            self.sdf_net, self.blending_net, self.variance_net, cfg.render,
+            color_head=cfg.color_network.head)
 
     # -- initialization ----------------------------------------------------
 
@@ -66,8 +79,10 @@ class GenSModel:
 
         n_scales = len(self.cfg.volume.volume_dims)
         c_feat = self.cfg.feature_network.d_out[0]
+        # mean‖var emits 2C channels per scale; adaptive emits C
+        c_vol = c_feat if self.adaptive_agg is not None else 2 * c_feat
         dummy_vols = [
-            jnp.zeros((64 >> i, 64 >> i, 64 >> i, 2 * c_feat), jnp.float32)
+            jnp.zeros((64 >> i, 64 >> i, 64 >> i, c_vol), jnp.float32)
             for i in range(n_scales)
         ]
         reg_params = self.reg_net.init(kr, [v[None] for v in dummy_vols])
@@ -78,14 +93,39 @@ class GenSModel:
         ]
         sdf_params = self.sdf_net.init(ks, jnp.zeros((2, 3)), dummy_ref_vols)
 
-        d_feat_total = sum(self.cfg.reg_network.d_out)
-        blending_params = self.blending_net.init(
-            kb,
-            jnp.zeros((2, n_src_views, 3 + d_feat_total)),
-            jnp.zeros((2, n_src_views, 4)),
-            jnp.ones((2, n_src_views), bool),
-        )
+        if self.cfg.color_network.head == "idr":
+            d_lat = self.cfg.sdf_network.d_out - 1
+            blending_params = self.blending_net.init(
+                kb, jnp.zeros((2, 3)), jnp.zeros((2, 3)),
+                jnp.zeros((2, 3)), jnp.zeros((2, d_lat)))
+        else:
+            d_feat_total = sum(self.cfg.reg_network.d_out)
+            blending_params = self.blending_net.init(
+                kb,
+                jnp.zeros((2, n_src_views, 3 + d_feat_total)),
+                jnp.zeros((2, n_src_views, 4)),
+                jnp.ones((2, n_src_views), bool),
+            )
         variance_params = self.variance_net.init(kv)
+
+        if self.adaptive_agg is not None:
+            dummy_feats = [
+                jnp.zeros((2, 32 >> i, 32 >> i, c_feat), jnp.float32)
+                for i in range(n_scales)
+            ]
+            agg_params = self.adaptive_agg.init(
+                km, dummy_feats, jnp.eye(3)[None].repeat(2, 0),
+                jnp.eye(4)[None].repeat(2, 0),
+                tuple(4 for _ in range(n_scales)))
+            return {
+                "feature": feature_params,
+                "match_feature": jax.tree.map(jnp.copy, feature_params),
+                "agg": agg_params,
+                "reg": reg_params,
+                "sdf": sdf_params,
+                "blending": blending_params,
+                "variance": variance_params,
+            }
 
         return {
             "feature": feature_params,
@@ -106,12 +146,18 @@ class GenSModel:
     def build_volumes(self, params, features, intrs, c2ws,
                       axis_name: Optional[str] = None,
                       view_valid: Optional[jnp.ndarray] = None):
-        raw_vols, mask_vols = agg_mean_var(
-            features, intrs, c2ws, self.cfg.volume.volume_dims,
-            min_vis_view=self.cfg.volume.min_vis_view,
-            axis_name=axis_name, view_valid=view_valid,
-            out_dtype=(jnp.bfloat16 if self.cfg.volume.dtype == "bfloat16"
-                       else None))
+        if self.adaptive_agg is not None:
+            raw_vols, mask_vols = self.adaptive_agg.apply(
+                params["agg"], features, intrs, c2ws,
+                self.cfg.volume.volume_dims,
+                min_vis_view=self.cfg.volume.min_vis_view)
+        else:
+            raw_vols, mask_vols = agg_mean_var(
+                features, intrs, c2ws, self.cfg.volume.volume_dims,
+                min_vis_view=self.cfg.volume.min_vis_view,
+                axis_name=axis_name, view_valid=view_valid,
+                out_dtype=(jnp.bfloat16 if self.cfg.volume.dtype == "bfloat16"
+                           else None))
         # remat: the U-Net's 256³ activations are cheap to recompute (~60 ms)
         # and expensive to keep across the whole render backward (~2 GB)
         reg_apply = jax.checkpoint(
@@ -168,6 +214,43 @@ class GenSModel:
         volumes = [jax.lax.stop_gradient(v) for v in volumes]
         features = [jax.lax.stop_gradient(f) for f in features]
         return volumes, mask_vols, features
+
+    def filter_volume(self, params, volumes, mask_volumes,
+                      thresh: float = 0.1):
+        """Narrow-band mask pruning: keep only voxels whose SDF magnitude is
+        below ``thresh`` (dilated by one voxel), inside the unit sphere.
+
+        Re-design of the reference's implemented-but-disabled
+        ``GenS.filter_volume`` (models/gens.py:87-122, call site commented at
+        gens.py:73): evaluate the SDF on the finest cascade grid in chunks,
+        threshold, 3³ max-pool dilate, then AND into every cascade mask with
+        nearest 2x downsampling between scales. Returns new mask_volumes."""
+        from gens_tpu.models.volume import voxel_grid
+
+        dim = mask_volumes[0].shape[0]
+        pts = voxel_grid(dim)  # (dim³, 3), x-major like the volumes
+        chunk = min(pts.shape[0], 128 ** 3 // 8)
+        n_chunks = (pts.shape[0] + chunk - 1) // chunk
+        pad = n_chunks * chunk - pts.shape[0]
+        pts_c = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+        def eval_chunk(p):
+            sdf = self.sdf_net.apply(params["sdf"], p, volumes,
+                                     method=SDFNetwork.sdf)
+            return (jnp.abs(sdf) < thresh).astype(jnp.float32)
+
+        band = jax.lax.map(eval_chunk, pts_c).reshape(-1)[:dim ** 3]
+        inside = jnp.linalg.norm(pts, axis=-1) < 1.0
+        mask = (band * inside).reshape(dim, dim, dim)
+        # one-voxel dilation (F.max_pool3d(mask, 3, 1, 1), gens.py:114)
+        mask = jax.lax.reduce_window(
+            mask, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+
+        out = []
+        for m in mask_volumes:
+            out.append(m * mask)
+            mask = mask[::2, ::2, ::2]  # nearest 0.5x (gens.py:119)
+        return out
 
     def forward_finetune(self, ft_params, static: Dict, inputs: Dict,
                          cos_anneal_ratio, key) -> Dict:

@@ -96,6 +96,78 @@ class Upsample3dBlock(nn.Module):
         return Conv3dBlock(self.features)(x)
 
 
+class GlobalAttn(nn.Module):
+    """Transformer block over flattened voxels of the U-Net bottleneck.
+
+    Re-design of /root/reference/models/modules/reg_network.py:53-101 (the
+    reference defines it but leaves both call sites commented out,
+    reg_network.py:138,153). Provided as a working option
+    (``config.reg_network.use_global_attn``) applied at the coarsest encoder
+    level, where the voxel count (16³ at the reference cascade) keeps the
+    L x L attention matrix MXU-friendly. Post-norm residual structure
+    matches the reference: x + act(attn), LayerNorm, FFN residual, LayerNorm.
+    """
+
+    d_ff: int
+    d_keys: int
+    d_values: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (X, Y, Z, C) -> (X, Y, Z, C)."""
+        X, Y, Z, C = x.shape
+        h = x.reshape(1, -1, C)  # (1, L, C)
+        L, H = h.shape[1], self.n_heads
+
+        q = nn.Dense(self.d_keys * H, name="query")(h).reshape(1, L, H, -1)
+        k = nn.Dense(self.d_keys * H, name="key")(h).reshape(1, L, H, -1)
+        v = nn.Dense(self.d_values * H, name="value")(h).reshape(1, L, H, -1)
+        scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(
+            jnp.asarray(self.d_keys, h.dtype))
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(1, L, -1)
+        out = nn.Dense(C, name="out")(out)
+
+        out = h + nn.relu(out)
+        out2 = nn.LayerNorm(name="norm1")(out)
+        ff = nn.relu(nn.Dense(self.d_ff, name="linear1")(out2))
+        ff = nn.Dense(C, name="linear2")(ff)
+        out = nn.LayerNorm(name="norm2")(ff + out2)
+        return out.reshape(X, Y, Z, C)
+
+
+class RegNetworkLite(nn.Module):
+    """Single-output U-Net variant (reference reg_network.py:169-222, unused
+    there): same coarse-injection encoder, but the decoder adds skips
+    directly and only the FINEST-resolution volume is emitted."""
+
+    cfg: RegNetConfig
+
+    @nn.compact
+    def __call__(self, volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        c = self.cfg
+        n = len(c.d_volume)
+        assert len(volumes) == n
+        vols = [v[0] for v in volumes]
+
+        e_outs = []
+        e = Conv3dBlock(c.d_base)(vols[0])
+        e_outs.append(e)
+        for i in range(n):
+            dim_m = c.d_base * 2 ** i
+            e = Conv3dBlock(dim_m, stride=2)(e)
+            e = Conv3dBlock(dim_m)(e)
+            e_outs.append(e)
+            if i < n - 1:
+                e = jnp.concatenate([e, vols[i + 1]], axis=-1)
+
+        d = e_outs[-1]
+        for i in range(n - 1, -1, -1):
+            d = Upsample3dBlock(c.d_base * 2 ** max(i - 1, 0))(d) + e_outs[i]
+        return Conv3dBlock(c.d_out[0], norm_relu=False)(d)[None]
+
+
 class RegNetwork(nn.Module):
     cfg: RegNetConfig
 
@@ -127,6 +199,15 @@ class RegNetwork(nn.Module):
             e_outs.append(e)
             if i < n - 1:
                 e = jnp.concatenate([e, vols[i + 1]], axis=-1)
+
+        if c.use_global_attn:
+            # bottleneck transformer (the reference's commented-out
+            # global_attn call sites, reg_network.py:138,153)
+            bott = e_outs[-1]
+            ch = bott.shape[-1]
+            e_outs[-1] = GlobalAttn(
+                d_ff=2 * ch, d_keys=max(ch // 4, 8),
+                d_values=max(ch // 4, 8), n_heads=4)(bott).astype(bott.dtype)
 
         d_outs = [e_outs[-1]]
         for i in range(n - 1, -1, -1):

@@ -103,11 +103,14 @@ class Renderer:
     """
 
     def __init__(self, sdf_module, blending_module, variance_module,
-                 cfg: RenderConfig):
+                 cfg: RenderConfig, color_head: str = "blending"):
         self.sdf = sdf_module
         self.blending = blending_module
         self.variance = variance_module
         self.cfg = cfg
+        # "blending" = IBRNet source-view blending (reference live path);
+        # "idr" = surface-light-field MLP over the SDF latent code
+        self.color_head = color_head
 
     # -- SDF helpers -------------------------------------------------------
 
@@ -165,22 +168,32 @@ class Renderer:
         gradients = gradients * voxel_mask[:, None]
         smooth = smooth * voxel_mask[:, None]
 
-        # -- source-view color blending (implicit_surface.py:194-204)
-        rgb_feat, ray_diff, view_mask = lookup_feature(
-            pts_flat, scene.imgs, scene.intrs, scene.c2ws, scene.features)
-        sampled_color = self.blending.apply(
-            params["blending"], rgb_feat, ray_diff, view_mask)
-        sampled_color = sampled_color * voxel_mask[:, None]
-        sampled_color = sampled_color.reshape(R, S, 3)
-        view_mask = view_mask & (voxel_mask[:, None] > 0)
+        if self.color_head == "idr":
+            # surface-light-field head: RGB from (point, normal, view dir,
+            # SDF latent) — the reference's RenderingNetwork wired live
+            sampled_color = self.blending.apply(
+                params["blending"], pts_flat, gradients, dirs_flat,
+                sdf_out[:, 1:])
+            sampled_color = sampled_color * voxel_mask[:, None]
+            sampled_color = sampled_color.reshape(R, S, 3)
+            valid_mask = jnp.ones((R, 1), bool)
+        else:
+            # -- source-view color blending (implicit_surface.py:194-204)
+            rgb_feat, ray_diff, view_mask = lookup_feature(
+                pts_flat, scene.imgs, scene.intrs, scene.c2ws, scene.features)
+            sampled_color = self.blending.apply(
+                params["blending"], rgb_feat, ray_diff, view_mask)
+            sampled_color = sampled_color * voxel_mask[:, None]
+            sampled_color = sampled_color.reshape(R, S, 3)
+            view_mask = view_mask & (voxel_mask[:, None] > 0)
 
-        # ray validity: >8 samples seen by >1 source view
-        # (implicit_surface.py:202-204; the threshold semantics are
-        # "strictly more than minimum_vas_view=1 views")
-        vm = jax.lax.stop_gradient(
-            view_mask.reshape(R, S, -1).astype(jnp.float32))
-        valid_mask = (vm.sum(axis=2) > 1).astype(jnp.float32).sum(
-            axis=1, keepdims=True) > 8  # (R, 1) bool
+            # ray validity: >8 samples seen by >1 source view
+            # (implicit_surface.py:202-204; the threshold semantics are
+            # "strictly more than minimum_vas_view=1 views")
+            vm = jax.lax.stop_gradient(
+                view_mask.reshape(R, S, -1).astype(jnp.float32))
+            valid_mask = (vm.sum(axis=2) > 1).astype(jnp.float32).sum(
+                axis=1, keepdims=True) > 8  # (R, 1) bool
 
         inv_s = jnp.clip(self.variance.apply(params["variance"]), 1e-6, 1e6)
 

@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import linen as _nn
 
 from gens_tpu.ops.interp import bilerp
 from gens_tpu.ops.projection import scale_intrinsics
@@ -135,6 +136,56 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
     volume = vols.reshape(dim, dim, dim, 2 * C)
     mask_volume = masks.reshape(dim, dim, dim)
     return volume, mask_volume
+
+
+class AdaptiveAgg(_nn.Module):
+    """Learned softmax-weighted cross-view aggregation (the reference's
+    ``agg_adaptive``, volume.py:65-114).
+
+    The reference scores each view's warped feature with ``self.agg_mlps[i]``
+    — modules it never constructs (dead code, SURVEY.md §7.5); here the
+    per-scale score MLPs exist (C -> d_hidden -> 1) and the path is a working
+    alternative to mean/var aggregation (``config.volume.agg = "adaptive"``).
+    Output volumes have C channels per scale (not 2C as mean‖var does).
+    """
+
+    n_scales: int
+    d_hidden: int = 16
+
+    @_nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
+                 c2ws: jnp.ndarray, volume_dims: Sequence[int],
+                 min_vis_view: int = 1):
+        volumes, masks = [], []
+        for i, dim in enumerate(volume_dims):
+            feat = features[i]
+            V, H, W, C = feat.shape
+            intrs_i = scale_intrinsics(intrs, i)
+            pts = voxel_grid(dim, feat.dtype)  # (dim³, 3)
+
+            def project(feat_v, intr_v, c2w_v):
+                with jax.default_matmul_precision("highest"):
+                    w2c = jnp.linalg.inv(c2w_v)
+                    cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+                    uvw = cam @ intr_v.T
+                xy = uvw[:, :2] / (uvw[:, 2:] + 1e-8)
+                nx = xy[:, 0] / ((W - 1) / 2.0) - 1.0
+                ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
+                mask = (jnp.abs(nx) <= 1) & (jnp.abs(ny) <= 1) & (cam[:, 2] > 0)
+                return bilerp(feat_v, xy), mask
+
+            feats, vmask = jax.vmap(project)(feat, intrs_i, c2ws)  # (V,N,C),(V,N)
+            score = _nn.Dense(1, name=f"agg_mlp_{i}_out")(
+                _nn.relu(_nn.Dense(self.d_hidden, name=f"agg_mlp_{i}_hidden")(feats))
+            )  # (V, N, 1)
+            score = jnp.where(vmask[..., None], score, -1e9)
+            w = jax.nn.softmax(score, axis=0)
+            vol = jnp.sum(feats * w, axis=0).reshape(dim, dim, dim, C)
+            mask_volume = (vmask.sum(axis=0) > min_vis_view).astype(
+                jnp.float32).reshape(dim, dim, dim)
+            volumes.append(vol)
+            masks.append(mask_volume)
+        return volumes, masks
 
 
 def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,

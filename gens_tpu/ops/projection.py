@@ -197,3 +197,39 @@ def surface_patch_warp(pts: jnp.ndarray, normals: jnp.ndarray,
     ref_patches = bilerp(images[0], jax.lax.stop_gradient(pix).reshape(-1, 2))
     ref_patches = ref_patches.reshape(N, patch_size ** 2, -1)
     return ref_patches, src_patches
+
+
+# -- background-sphere (equirectangular) volume support ----------------------
+# Re-design of /root/reference/models/modules/projector.py:248-275
+# (equirect2sphere / lookup_sphe_volume — NeRF++-style inverted-sphere
+# background parameterization; unused by the reference's live path but kept
+# as a working option for unbounded scenes).
+
+
+def equirect2sphere(pts: jnp.ndarray) -> jnp.ndarray:
+    """Map world points OUTSIDE the unit sphere to (theta, phi, 1/r).
+
+    pts (N, 3) -> (N, 3): theta = asin(z/r) in [-pi/2, pi/2], phi =
+    atan2(y, x) in [-pi, pi], and inverse distance 1/r in (0, 1] (the radius
+    is clipped to >= 1 as in projector.py:253)."""
+    r = jnp.clip(safe_norm(pts, axis=1, keepdims=True), 1.0, 1e10)
+    x, y, z = pts[:, :1] / r, pts[:, 1:2] / r, pts[:, 2:3] / r
+    theta = jnp.arcsin(jnp.clip(z, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    return jnp.concatenate([theta, phi, 1.0 / r], axis=1)
+
+
+def lookup_sphe_volume(sphe_pts: jnp.ndarray, volume: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear lookup of an equirectangular background volume at spherical
+    coordinates (projector.py:266-275).
+
+    sphe_pts (N, 3) from :func:`equirect2sphere`; volume (D, H, W, C) indexed
+    by normalized (theta, phi, inv_r). Returns (N, C)."""
+    from gens_tpu.ops.interp import trilerp
+
+    theta, phi, inv_r = sphe_pts[:, :1], sphe_pts[:, 1:2], sphe_pts[:, 2:3]
+    theta = theta / (jnp.pi / 2.0)
+    phi = phi / jnp.pi
+    inv_r = ((inv_r - 1e-10) / (1.0 - 1e-10) - 0.5) * 2.0
+    norm_pts = jnp.concatenate([theta, phi, inv_r], axis=1)
+    return trilerp(volume, norm_pts)
