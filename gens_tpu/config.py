@@ -84,6 +84,11 @@ class SDFNetConfig:
     # than per-scale scatters: 7.2k -> 5.0k rays/s), so off by default;
     # kept for gradient-free paths and future hardware
     fused_cascade: bool = False
+    # supercell-packed trilerp: one wide 27C-channel gather per scale
+    # instead of 8 narrow C-channel ones (ops/interp.py pack_supercell).
+    # TPU gathers are addressing-bound, so the wide row is nearly free.
+    # Costs ~27/8 x the cascade in HBM for the packed tables.
+    packed_trilerp: bool = False
 
 
 @dataclass
@@ -95,6 +100,10 @@ class BlendingNetConfig:
     # reference's never-instantiated RenderingNetwork made functional; useful
     # when no source-view features exist to blend)
     head: str = "blending"
+    # supercell-packed bilerp for the source-view feature/RGB warps: one
+    # wide 9C-channel gather per (view, scale) instead of 4 narrow ones,
+    # packed once per scene (ops/interp.py pack_supercell2d)
+    packed_bilerp: bool = False
     # idr-head hyperparameters (reference rendering_network.py:90-151)
     idr_mode: str = "idr"  # idr | no_view_dir | no_normal
     idr_d_hidden: int = 256

@@ -173,12 +173,28 @@ class GenSModel:
         match_features = self.extract_features(params, imgs, match=True)
         volumes, mask_vols = self.build_volumes(
             params, features, intrs, c2ws, axis_name, view_valid)
-        from gens_tpu.ops.interp import combine_mask_cascade
+        from gens_tpu.ops.interp import (combine_mask_cascade,
+                                         pack_cascade_supercell,
+                                         pack_supercell2d)
 
+        packed = None
+        if self.cfg.sdf_network.packed_trilerp:
+            # pack once per scene; every SDF lookup (sampling rounds, render
+            # core, derivatives) then uses one wide gather per scale
+            packed = pack_cascade_supercell(
+                volumes,
+                dtype=(jnp.bfloat16
+                       if self.cfg.sdf_network.volume_dtype == "bfloat16"
+                       else None))
+        packed_feats = packed_imgs = None
+        if self.cfg.color_network.packed_bilerp:
+            packed_feats = [pack_supercell2d(f) for f in features]
+            packed_imgs = pack_supercell2d(imgs)
         return Scene(
             volumes=volumes, mask_volumes=mask_vols, features=features,
             match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws,
-            mask_any=combine_mask_cascade(mask_vols))
+            mask_any=combine_mask_cascade(mask_vols), packed_volumes=packed,
+            packed_features=packed_feats, packed_imgs=packed_imgs)
 
     # -- forward -----------------------------------------------------------
 

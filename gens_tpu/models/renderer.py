@@ -52,6 +52,20 @@ class Scene:
     # pre-OR'd finest-resolution mask (combine_mask_cascade); lazily derived
     # from mask_volumes when absent
     mask_any: Any = None
+    # supercell-packed cascade (list[PackedVolume]) — packed ONCE per scene
+    # when sdf_network.packed_trilerp is on; the SDF lookups use it, the TV
+    # regularizer keeps the raw volumes
+    packed_volumes: Any = None
+    # supercell-packed feature pyramid / RGB images (lists of PackedImage)
+    # for the source-view warps, when color_network.packed_bilerp is on
+    packed_features: Any = None
+    packed_imgs: Any = None
+
+
+def scene_sdf_volumes(scene: "Scene"):
+    """The cascade representation the SDF net should sample from."""
+    return (scene.packed_volumes if scene.packed_volumes is not None
+            else scene.volumes)
 
 
 def scene_mask_any(scene: "Scene") -> jnp.ndarray:
@@ -129,15 +143,43 @@ class Renderer:
         return f
 
     def sdf_gradients(self, params, volumes, pts):
-        """(gradients, smooth) at pts — nested autodiff (sdf_network.py:131-153)."""
+        """(gradients, smooth) at pts (sdf_network.py:131-153).
+
+        Forward-over-reverse: one jvp through the gradient returns the
+        gradient (primal) and Hessian·1 (tangent) fused; by Hessian symmetry
+        the tangent equals the reference's ``grad(grad(sdf) @ ones)``."""
         raw = self.sdf_fn(params, volumes)
 
         def sdf_sum(p):
             return raw(p).sum()
 
-        gradients = jax.grad(sdf_sum)(pts)
-        smooth = jax.grad(lambda p: jax.grad(sdf_sum)(p).sum())(pts)
-        return gradients, smooth
+        return jax.jvp(jax.grad(sdf_sum), (pts,), (jnp.ones_like(pts),))
+
+    def sdf_gradient(self, params, volumes, pts):
+        """First-order ∇SDF only (for the surface-root normal, where the
+        reference also discards the second-order term)."""
+        raw = self.sdf_fn(params, volumes)
+        return jax.grad(lambda p: raw(p).sum())(pts)
+
+    def sdf_value_grad_smooth(self, params, volumes, pts):
+        """Fused (full_output (N,C), gradients (N,3), smooth (N,3)).
+
+        One vjp gives the full MLP output and ∇SDF; one jvp through that
+        gives Hessian·1 — the render core's three derivative quantities in a
+        single pass instead of three."""
+
+        def full_fn(p):
+            return self.sdf.apply(params["sdf"], p, volumes)
+
+        def grad_fn(p):
+            out, vjp = jax.vjp(full_fn, p)
+            ct = jnp.zeros_like(out).at[:, 0].set(1.0)
+            (g,) = vjp(ct)
+            return g, out
+
+        (gradients, sdf_out), (smooth, _) = jax.jvp(
+            grad_fn, (pts,), (jnp.ones_like(pts),))
+        return sdf_out, gradients, smooth
 
     # -- core --------------------------------------------------------------
 
@@ -147,6 +189,14 @@ class Renderer:
         cfg = self.cfg
         R, S = z_vals.shape
         volumes, mask_volumes = scene.volumes, scene.mask_volumes
+        # Packed supercell tables are built by a patch-extraction conv whose
+        # BACKWARD provokes a pathological XLA layout (compile-time OOM), so
+        # in training the grad-carrying SDF evals use the raw volumes and
+        # only gradient-free/detached uses go through the packed tables
+        # (their pack op then has no transpose). Inference uses packed
+        # everywhere.
+        sdf_vols_nograd = scene_sdf_volumes(scene)
+        sdf_vols = volumes if train else sdf_vols_nograd
         mask_any = scene_mask_any(scene)
 
         dists = z_vals[:, 1:] - z_vals[:, :-1]
@@ -161,10 +211,9 @@ class Renderer:
 
         voxel_mask = lookup_mask(mask_any, pts_flat)  # (R*S,)
 
-        sdf_out = self.sdf.apply(params["sdf"], pts_flat, volumes)
+        sdf_out, gradients, smooth = self.sdf_value_grad_smooth(
+            params, sdf_vols, pts_flat)
         sdf = jnp.where(voxel_mask > 0, sdf_out[:, 0], SDF_SENTINEL)  # (R*S,)
-
-        gradients, smooth = self.sdf_gradients(params, volumes, pts_flat)
         gradients = gradients * voxel_mask[:, None]
         smooth = smooth * voxel_mask[:, None]
 
@@ -180,7 +229,9 @@ class Renderer:
         else:
             # -- source-view color blending (implicit_surface.py:194-204)
             rgb_feat, ray_diff, view_mask = lookup_feature(
-                pts_flat, scene.imgs, scene.intrs, scene.c2ws, scene.features)
+                pts_flat, scene.imgs, scene.intrs, scene.c2ws, scene.features,
+                packed_features=None if train else scene.packed_features,
+                packed_imgs=None if train else scene.packed_imgs)
             sampled_color = self.blending.apply(
                 params["blending"], rgb_feat, ray_diff, view_mask)
             sampled_color = sampled_color * voxel_mask[:, None]
@@ -258,7 +309,7 @@ class Renderer:
             pts_random = jax.random.uniform(
                 key, (cfg.n_sparse_pts, 3), minval=-1.0, maxval=1.0)
             sdf_random = self.sdf.apply(
-                params["sdf"], pts_random, volumes, method=SDFNetwork.sdf)
+                params["sdf"], pts_random, sdf_vols, method=SDFNetwork.sdf)
             sparse_sdf = jnp.concatenate([sdf_random, sdf])
         else:
             sparse_sdf = sdf
@@ -305,7 +356,9 @@ class Renderer:
         z_sdf0 = jnp.where(z_sdf0 > jnp.max(z_vals), 0.0, z_sdf0)
         pts_sdf0 = rays_o + rays_d * z_sdf0  # (R,3)
 
-        grad_sdf0, _ = self.sdf_gradients(params, volumes, pts_sdf0)
+        # normal_sdf0 is stop_gradient'd below, so the packed tables are
+        # safe here even in training
+        grad_sdf0 = self.sdf_gradient(params, sdf_vols_nograd, pts_sdf0)
         g0n = safe_norm(grad_sdf0, axis=-1, keepdims=True, eps=1e-16)
         normal_sdf0 = grad_sdf0 / g0n
         # rotate into ref camera frame and detach (implicit_surface.py:311)
@@ -355,7 +408,11 @@ class Renderer:
         if cfg.perturb <= 0:
             perturb_key = None
 
-        sdf_fn = self.sdf_fn(params, scene.volumes)
+        # NB: the fused Pallas cascade+MLP kernel was measured SLOWER here
+        # (6.6k vs 8.3k rays/s — the packed single-gather loses to XLA's
+        # per-scale gathers at render point counts); it stays on the dense
+        # grid-extraction path only
+        sdf_fn = self.sdf_fn(params, scene_sdf_volumes(scene))
         z_vals = hierarchical_sample(
             rays_o, rays_d, near, far,
             lambda p: jax.lax.stop_gradient(sdf_fn(p)),
@@ -372,6 +429,8 @@ class Renderer:
         """SDF at back-projected pseudo points, zero outside the voxel mask
         (implicit_surface.py:489-497)."""
         m = lookup_mask(scene_mask_any(scene), pseudo_pts)
+        # training path (pseudo-SDF loss backprops into the volumes), so the
+        # raw cascade is used — see render_core on pack-conv backward
         sdf = self.sdf.apply(params["sdf"], pseudo_pts, scene.volumes,
                              method=SDFNetwork.sdf)
         return jnp.where(m > 0, sdf, 0.0)[:, None]

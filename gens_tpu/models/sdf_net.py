@@ -25,8 +25,10 @@ from flax import linen as nn
 
 from gens_tpu.config import SDFNetConfig
 from gens_tpu.models.embedder import positional_encoding, positional_encoding_dim
-from gens_tpu.ops.interp import (lookup_volume_cascade,
-                                 lookup_volume_cascade_packed, pack_cascade)
+from gens_tpu.ops.interp import (PackedVolume, lookup_volume_cascade,
+                                 lookup_volume_cascade_packed,
+                                 lookup_volume_cascade_supercell,
+                                 pack_cascade, pack_cascade_supercell)
 
 
 class WNLinear(nn.Module):
@@ -146,7 +148,24 @@ class SDFNetwork(nn.Module):
     def __call__(self, pts: jnp.ndarray, volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
         """pts (N, 3) -> (N, d_out): [sdf, latent...]."""
         c = self.cfg
-        if c.fused_cascade and len({v.shape[-1] for v in volumes}) == 1:
+        if isinstance(volumes[0], PackedVolume):
+            # supercell-packed lookup: ONE wide (27C-channel) gather per
+            # scale instead of 8 narrow ones — TPU gathers are
+            # addressing-bound, so row width is nearly free (interp.py
+            # pack_supercell). The caller packed once per scene
+            # (GenSModel.build_scene); dtype was chosen at pack time.
+            feats = lookup_volume_cascade_supercell(volumes, pts)
+            feats = feats.astype(jnp.float32)
+        elif c.packed_trilerp:
+            # packed lookup requested but raw volumes given (e.g. finetune,
+            # where the volumes are trained parameters): pack inline — the
+            # patch conv is differentiable, so volume gradients flow
+            packed = pack_cascade_supercell(
+                volumes,
+                dtype=(jnp.bfloat16 if c.volume_dtype == "bfloat16" else None))
+            feats = lookup_volume_cascade_supercell(packed, pts)
+            feats = feats.astype(jnp.float32)
+        elif c.fused_cascade and len({v.shape[-1] for v in volumes}) == 1:
             # fused path: one gather for the whole cascade (and one scatter
             # in the backward) instead of scales x 8 corners
             flat, shapes, offsets = pack_cascade(volumes)
@@ -192,6 +211,10 @@ def sdf_with_gradients(module: SDFNetwork, params, pts: jnp.ndarray,
     def sdf_sum(p):
         return module.apply(params, p, volumes, method=SDFNetwork.sdf).sum()
 
-    gradients = jax.grad(sdf_sum)(pts)
-    smooth = jax.grad(lambda p: jax.grad(sdf_sum)(p).sum())(pts)
+    # forward-over-reverse: one jvp through the gradient yields the gradient
+    # (primal) and the Hessian-times-ones (tangent) in a single fused pass.
+    # By Hessian symmetry J_g·1 == ∇(Σ_j g_j), the reference's
+    # grad(grad(sdf) @ ones) — same math, ~40% fewer MLP/trilerp passes.
+    gradients, smooth = jax.jvp(
+        jax.grad(sdf_sum), (pts,), (jnp.ones_like(pts),))
     return gradients, smooth

@@ -76,7 +76,8 @@ def compute_ray_diff(pts: jnp.ndarray, ref_c2w: jnp.ndarray,
 
 
 def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
-                   c2ws: jnp.ndarray, features: Sequence[jnp.ndarray]):
+                   c2ws: jnp.ndarray, features: Sequence[jnp.ndarray],
+                   packed_features=None, packed_imgs=None):
     """Warp source-view multi-scale features + RGB onto sample points.
 
     Equivalent of reference projector.py:294-349: project ``pts`` into every
@@ -86,9 +87,17 @@ def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
     pts: (N, 3); imgs: (V, H, W, 3); intrs: (V, 3, 3); c2ws: (V, 4, 4);
     features: list of (V, H_i, W_i, C_i) fine-to-coarse.
 
+    When ``packed_features`` / ``packed_imgs`` (lists of
+    :class:`~gens_tpu.ops.interp.PackedImage` built once per scene) are
+    given, the bilinear sampling goes through one wide supercell gather per
+    (view, scale) instead of 4 narrow corner gathers — numerically
+    identical, much friendlier to the TPU's addressing-bound gathers.
+
     Returns ``rgb_feat (N, S, 3 + sum C_i)``, ``ray_diff (N, S, 4)``,
     ``mask (N, S)`` with S = V - 1 source views.
     """
+    from gens_tpu.ops.interp import bilerp_supercell
+
     src_intrs = intrs[1:]
     src_c2ws = c2ws[1:]
     ray_diff = compute_ray_diff(pts, c2ws[0], src_c2ws)
@@ -99,22 +108,36 @@ def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
     for i, feat in enumerate(features):
         hw = feat.shape[1], feat.shape[2]
         intrs_i = scale_intrinsics(src_intrs, i)
+        pk = packed_features[i] if packed_features is not None else None
 
-        def sample_one(feat_v, intr_v, c2w_v):
+        def sample_one(feat_v, intr_v, c2w_v, table_v=None, _pk=pk):
             xy, mask = project_points(pts, intr_v, c2w_v, hw)
-            vals = bilerp(feat_v, xy)
+            if table_v is not None:
+                vals = bilerp_supercell(table_v, _pk.dims, xy)
+            else:
+                vals = bilerp(feat_v, xy)
             return vals, mask
 
-        vals, mask = jax.vmap(sample_one)(feat[1:], intrs_i, src_c2ws)
+        if pk is not None:
+            vals, mask = jax.vmap(sample_one)(
+                feat[1:], intrs_i, src_c2ws, pk.table[1:])
+        else:
+            vals, mask = jax.vmap(sample_one)(feat[1:], intrs_i, src_c2ws)
         warped.append(jnp.transpose(vals, (1, 0, 2)))  # (N, S, C)
         masks.append(jnp.transpose(mask, (1, 0)))  # (N, S)
 
         if i == 0:
-            def sample_rgb(img_v, intr_v, c2w_v):
+            def sample_rgb(img_v, intr_v, c2w_v, table_v=None):
                 xy, _ = project_points(pts, intr_v, c2w_v, hw)
+                if table_v is not None:
+                    return bilerp_supercell(table_v, packed_imgs.dims, xy)
                 return bilerp(img_v, xy)
 
-            rgb = jax.vmap(sample_rgb)(imgs[1:], intrs_i, src_c2ws)
+            if packed_imgs is not None:
+                rgb = jax.vmap(sample_rgb)(
+                    imgs[1:], intrs_i, src_c2ws, packed_imgs.table[1:])
+            else:
+                rgb = jax.vmap(sample_rgb)(imgs[1:], intrs_i, src_c2ws)
             warped_rgb = jnp.transpose(rgb, (1, 0, 2))  # (N, S, 3)
 
     rgb_feat = jnp.concatenate([warped_rgb] + warped, axis=-1)

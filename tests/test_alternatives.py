@@ -273,3 +273,26 @@ def test_filter_volume_narrow_band():
     # pruned masks are a subset of the originals
     for m, orig in zip(out, mask_volumes):
         assert (np.asarray(m) <= np.asarray(orig)).all()
+
+
+# -- supercell-packed trilerp end-to-end ---------------------------------------
+
+
+def test_forward_train_packed_trilerp_matches_unpacked(scene_inputs):
+    cfg = tiny_config()
+    model = GenSModel(cfg.model)
+    params = model.init_params(jax.random.PRNGKey(0), n_src_views=2)
+    out_ref = model.forward_train(params, scene_inputs, 0.5, False,
+                                  jax.random.PRNGKey(1))
+
+    cfg2 = tiny_config()
+    cfg2.model.sdf_network.packed_trilerp = True
+    cfg2.model.color_network.packed_bilerp = True
+    model2 = GenSModel(cfg2.model)
+    out_packed = model2.forward_train(params, scene_inputs, 0.5, False,
+                                      jax.random.PRNGKey(1))
+
+    for k in out_ref:
+        np.testing.assert_allclose(
+            np.asarray(out_ref[k]), np.asarray(out_packed[k]),
+            atol=1e-4, rtol=1e-3, err_msg=k)

@@ -140,3 +140,118 @@ def test_zeros_padding_outside():
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
     out = nearest3d(vol, far)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+# -- supercell-packed trilerp (the TPU fast path) -----------------------------
+
+
+def test_supercell_trilerp_matches_trilerp(rng):
+    from gens_tpu.ops.interp import pack_supercell, trilerp_supercell
+
+    for dims in [(8, 8, 8), (7, 6, 5), (16, 8, 4)]:
+        vol = jnp.asarray(rng.randn(*dims, 4).astype(np.float32))
+        table, d = pack_supercell(vol)
+        pts = np.concatenate([
+            rng.uniform(-1, 1, (200, 3)),
+            rng.uniform(-1.3, 1.3, (100, 3)),
+            np.array([[-1, -1, -1], [1, 1, 1], [0, 0, 0],
+                      [1.0001, 0, 0], [-3, 0, 0], [0, 5, 0]]),
+        ]).astype(np.float32)
+        pts = jnp.asarray(pts)
+        np.testing.assert_allclose(
+            np.asarray(trilerp(vol, pts)),
+            np.asarray(trilerp_supercell(table, d, pts)),
+            atol=1e-5, rtol=1e-5)
+
+
+def test_supercell_trilerp_grads_match(rng):
+    from gens_tpu.ops.interp import pack_supercell, trilerp_supercell
+
+    vol = jnp.asarray(rng.randn(8, 8, 8, 4).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1.1, 1.1, (64, 3)).astype(np.float32))
+
+    def fa(p):
+        return jnp.sum(trilerp(vol, p) ** 2)
+
+    def fb(p):
+        return jnp.sum(trilerp_supercell(*pack_supercell(vol), p) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(fa)(pts)),
+                               np.asarray(jax.grad(fb)(pts)),
+                               atol=1e-4, rtol=1e-4)
+    # second order (the Eikonal/smooth losses differentiate the gradient)
+    ha = jax.grad(lambda p: jax.grad(fa)(p).sum())(pts)
+    hb = jax.grad(lambda p: jax.grad(fb)(p).sum())(pts)
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                               atol=1e-4, rtol=1e-4)
+    # gradient w.r.t. the volume flows through the pack conv (finetune mode)
+    va = jax.grad(lambda v: jnp.sum(trilerp(v, pts) ** 2))(vol)
+    vb = jax.grad(lambda v: jnp.sum(
+        trilerp_supercell(*pack_supercell(v), pts) ** 2))(vol)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_packed_volume_rides_pytrees(rng):
+    from gens_tpu.ops.interp import (PackedVolume, pack_cascade_supercell,
+                                     lookup_volume_cascade_supercell)
+
+    vols = [jnp.asarray(rng.randn(d, d, d, 4).astype(np.float32))
+            for d in (8, 4, 2)]
+    packed = pack_cascade_supercell(vols)
+    assert all(isinstance(p, PackedVolume) for p in packed)
+    pts = jnp.asarray(rng.uniform(-1, 1, (17, 3)).astype(np.float32))
+
+    # dims stay static through jit (meta field), table is traced
+    @jax.jit
+    def f(packed, pts):
+        return lookup_volume_cascade_supercell(packed, pts)
+
+    out = f(packed, pts)
+    ref = lookup_volume_cascade(vols, pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_supercell_bilerp_matches_bilerp(rng):
+    from gens_tpu.ops.interp import pack_supercell2d, bilerp_supercell
+
+    for H, W, C in [(16, 16, 4), (15, 13, 3), (9, 24, 4)]:
+        imgs = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+        pk = pack_supercell2d(imgs)
+        assert pk.table.shape == (2, (H // 2 + 1) * (W // 2 + 1), 9 * C)
+        xy = np.concatenate([
+            rng.uniform(-2, max(H, W) + 2, (300, 2)),
+            np.array([[0, 0], [W - 1, H - 1], [-1, -1],
+                      [W - 0.5, 0], [0.3, H - 1.0]]),
+        ]).astype(np.float32)
+        xy = jnp.asarray(xy)
+        for v in range(2):
+            np.testing.assert_allclose(
+                np.asarray(bilerp(imgs[v], xy)),
+                np.asarray(bilerp_supercell(pk.table[v], pk.dims, xy)),
+                atol=1e-5, rtol=1e-5)
+
+
+def test_supercell_bilerp_grads_match(rng):
+    from gens_tpu.ops.interp import pack_supercell2d, bilerp_supercell
+
+    H, W, C = 12, 10, 3
+    imgs = jnp.asarray(rng.randn(1, H, W, C).astype(np.float32))
+    xy = jnp.asarray(rng.uniform(-1, max(H, W), (64, 2)).astype(np.float32))
+
+    def fa(q):
+        return jnp.sum(bilerp(imgs[0], q) ** 2)
+
+    def fb(q):
+        return jnp.sum(bilerp_supercell(
+            pack_supercell2d(imgs).table[0], (H, W), q) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(fa)(xy)),
+                               np.asarray(jax.grad(fb)(xy)),
+                               atol=1e-4, rtol=1e-4)
+    va = jax.grad(lambda im: jnp.sum(bilerp(im[0], xy) ** 2))(imgs)
+    vb = jax.grad(lambda im: jnp.sum(bilerp_supercell(
+        pack_supercell2d(im).table[0], (H, W), xy) ** 2))(imgs)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                               atol=1e-4, rtol=1e-4)
