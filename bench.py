@@ -45,6 +45,9 @@ def main():
     # instead of 8 narrow ones, packed once per scene (ops/interp.py).
     # Numerically identical; measured 8.3k -> 12.3k rays/s (+49%)
     cfg.model.sdf_network.packed_trilerp = True
+    # same idea in 2D for the source-view feature/RGB warps; with the fused
+    # variadic z-merge sort this measures 12.4k -> 22.9k rays/s (+85%)
+    cfg.model.color_network.packed_bilerp = True
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

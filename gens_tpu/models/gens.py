@@ -186,15 +186,25 @@ class GenSModel:
                 dtype=(jnp.bfloat16
                        if self.cfg.sdf_network.volume_dtype == "bfloat16"
                        else None))
-        packed_feats = packed_imgs = None
+        packed_feats = packed_imgs = packed_warp = packed_match_warp = None
         if self.cfg.color_network.packed_bilerp:
+            from gens_tpu.models.renderer import make_warp_feature_stack
+
             packed_feats = [pack_supercell2d(f) for f in features]
             packed_imgs = pack_supercell2d(imgs)
+            # MFC warp stacks are detached even in training
+            # (implicit_surface.py:313-326)
+            n_warp = self.cfg.render.warp_scales
+            packed_warp = pack_supercell2d(jax.lax.stop_gradient(
+                make_warp_feature_stack(features, n_warp)))
+            packed_match_warp = pack_supercell2d(jax.lax.stop_gradient(
+                make_warp_feature_stack(match_features, n_warp)))
         return Scene(
             volumes=volumes, mask_volumes=mask_vols, features=features,
             match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws,
             mask_any=combine_mask_cascade(mask_vols), packed_volumes=packed,
-            packed_features=packed_feats, packed_imgs=packed_imgs)
+            packed_features=packed_feats, packed_imgs=packed_imgs,
+            packed_warp=packed_warp, packed_match_warp=packed_match_warp)
 
     # -- forward -----------------------------------------------------------
 

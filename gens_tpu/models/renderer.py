@@ -60,6 +60,11 @@ class Scene:
     # for the source-view warps, when color_network.packed_bilerp is on
     packed_features: Any = None
     packed_imgs: Any = None
+    # supercell-packed MFC warp stacks (PackedImage each); the warp features
+    # are stop_gradient'd even in training (implicit_surface.py:313-326), so
+    # these are safe on every path
+    packed_warp: Any = None
+    packed_match_warp: Any = None
 
 
 def scene_sdf_volumes(scene: "Scene"):
@@ -364,13 +369,20 @@ class Renderer:
         # rotate into ref camera frame and detach (implicit_surface.py:311)
         normal_sdf0 = jax.lax.stop_gradient(normal_sdf0 @ rot.T)
 
-        feats_src = (scene.match_features if use_match_features
-                     else scene.features)
-        warp_feats = jax.lax.stop_gradient(
-            make_warp_feature_stack(feats_src, cfg.warp_scales))
-        ref_gray, sampled_gray = surface_patch_warp(
-            pts_sdf0, normal_sdf0, warp_feats, scene.intrs, scene.c2ws,
-            patch_size=cfg.patch_size)
+        packed_w = (scene.packed_match_warp if use_match_features
+                    else scene.packed_warp)
+        if packed_w is not None:
+            ref_gray, sampled_gray = surface_patch_warp(
+                pts_sdf0, normal_sdf0, None, scene.intrs, scene.c2ws,
+                patch_size=cfg.patch_size, packed_images=packed_w)
+        else:
+            feats_src = (scene.match_features if use_match_features
+                         else scene.features)
+            warp_feats = jax.lax.stop_gradient(
+                make_warp_feature_stack(feats_src, cfg.warp_scales))
+            ref_gray, sampled_gray = surface_patch_warp(
+                pts_sdf0, normal_sdf0, warp_feats, scene.intrs, scene.c2ws,
+                patch_size=cfg.patch_size)
 
         return {
             "color_fine": color,

@@ -150,8 +150,9 @@ def _homogeneous(xy: jnp.ndarray) -> jnp.ndarray:
 
 
 def surface_patch_warp(pts: jnp.ndarray, normals: jnp.ndarray,
-                       images: jnp.ndarray, intrs: jnp.ndarray,
-                       c2ws: jnp.ndarray, patch_size: int = 11):
+                       images, intrs: jnp.ndarray,
+                       c2ws: jnp.ndarray, patch_size: int = 11,
+                       packed_images=None):
     """Plane-induced homography patch warp for the MFC loss.
 
     Re-design of reference projector.py:353-419. For each surface point with
@@ -166,11 +167,19 @@ def surface_patch_warp(pts: jnp.ndarray, normals: jnp.ndarray,
     images: (V, H, W, C) stacked multi-scale feature images at full res.
     intrs: (V, 3, 3); c2ws: (V, 4, 4).
 
+    When ``packed_images`` (a :class:`~gens_tpu.ops.interp.PackedImage`
+    over the stacked views) is given, the patch sampling goes through one
+    wide supercell gather per pixel instead of 4 narrow corner gathers
+    (numerically identical); ``images`` may then be None.
+
     Returns ``ref_patches (N, P², C)`` and ``src_patches (S, N, P², C)``.
     """
     N = pts.shape[0]
     S = intrs.shape[0] - 1
-    H, W = images.shape[1], images.shape[2]
+    if packed_images is not None:
+        H, W = packed_images.dims
+    else:
+        H, W = images.shape[1], images.shape[2]
 
     K_ref = intrs[0]
     K_ref_inv = jnp.linalg.inv(K_ref)
@@ -212,12 +221,27 @@ def surface_patch_warp(pts: jnp.ndarray, normals: jnp.ndarray,
         warped = jnp.einsum("nsij,npj->nspi", Hom, pix_h)
     grid = warped[..., :2] / (warped[..., 2:] + 1e-8)  # (N, S, P², 2)
 
-    def sample_src(img_s, grid_s):
-        return bilerp(img_s, grid_s.reshape(-1, 2)).reshape(N, patch_size ** 2, -1)
+    grid_t = jnp.transpose(grid, (1, 0, 2, 3))  # (S, N, P², 2)
+    if packed_images is not None:
+        from gens_tpu.ops.interp import bilerp_supercell
 
-    src_patches = jax.vmap(sample_src)(images[1:], jnp.transpose(grid, (1, 0, 2, 3)))
+        def sample_src(table_s, grid_s):
+            return bilerp_supercell(
+                table_s, packed_images.dims,
+                grid_s.reshape(-1, 2)).reshape(N, patch_size ** 2, -1)
 
-    ref_patches = bilerp(images[0], jax.lax.stop_gradient(pix).reshape(-1, 2))
+        src_patches = jax.vmap(sample_src)(packed_images.table[1:], grid_t)
+        ref_patches = bilerp_supercell(
+            packed_images.table[0], packed_images.dims,
+            jax.lax.stop_gradient(pix).reshape(-1, 2))
+    else:
+        def sample_src(img_s, grid_s):
+            return bilerp(img_s, grid_s.reshape(-1, 2)).reshape(
+                N, patch_size ** 2, -1)
+
+        src_patches = jax.vmap(sample_src)(images[1:], grid_t)
+        ref_patches = bilerp(images[0],
+                             jax.lax.stop_gradient(pix).reshape(-1, 2))
     ref_patches = ref_patches.reshape(N, patch_size ** 2, -1)
     return ref_patches, src_patches
 

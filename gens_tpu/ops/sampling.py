@@ -103,9 +103,9 @@ def merge_z_vals(z_vals: jnp.ndarray, sdf: jnp.ndarray, new_z: jnp.ndarray,
     (reference cat_z_vals, implicit_surface.py:111-133) — static shapes."""
     z_all = jnp.concatenate([z_vals, new_z], axis=-1)
     sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_all, order, axis=-1)
+    # one fused variadic sort instead of argsort + two gathers
+    z_sorted, sdf_sorted = jax.lax.sort(
+        (z_all, sdf_all), dimension=-1, num_keys=1)
     return z_sorted, sdf_sorted
 
 

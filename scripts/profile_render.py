@@ -63,6 +63,7 @@ def main():
     cfg = Config()
     cfg.model.sdf_network.volume_dtype = "bfloat16"
     cfg.model.sdf_network.packed_trilerp = True
+    cfg.model.color_network.packed_bilerp = True
     n_views, hw, n_rays = 3, (480, 640), 1024
     model = GenSModel(cfg.model)
     params = model.init_params(jax.random.PRNGKey(0), n_src_views=n_views - 1)
@@ -108,7 +109,9 @@ def main():
 
     def blend_stage(q, params, scene):
         rgb_feat, ray_diff, view_mask = lookup_feature(
-            q, scene.imgs, scene.intrs, scene.c2ws, scene.features)
+            q, scene.imgs, scene.intrs, scene.c2ws, scene.features,
+            packed_features=scene.packed_features,
+            packed_imgs=scene.packed_imgs)
         return r.blending.apply(params["blending"], rgb_feat, ray_diff,
                                 view_mask)
 

@@ -127,3 +127,63 @@ def test_homography_patch_warp_planar_scene(rng):
     expect_r = uvw_r[:, :2] / uvw_r[:, 2:]
     got_r = np.asarray(ref_p)[:, 0, :]
     np.testing.assert_allclose(got_r, expect_r, rtol=1e-3, atol=0.1)
+
+
+def test_lookup_feature_packed_matches_unpacked(rng):
+    """The supercell-packed fast path must be numerically identical to the
+    plain bilerp path (same guarantee as ops/interp's 3D tests, here for
+    the full multi-scale lookup_feature)."""
+    from gens_tpu.ops.interp import pack_supercell2d
+
+    V, H, W = 3, 32, 32
+    intr, _ = _simple_cam((0, -2.0, 0), hw=(H, W))
+    c2ws = np.stack([
+        look_at(np.array([0, -2.0, 0], np.float32), np.zeros(3, np.float32)),
+        look_at(np.array([0.4, -2.0, 0], np.float32), np.zeros(3, np.float32)),
+        look_at(np.array([-0.4, -2.0, 0], np.float32), np.zeros(3, np.float32)),
+    ])
+    intrs = np.repeat(intr[None], V, 0)
+    imgs = jnp.asarray(rng.rand(V, H, W, 3).astype(np.float32))
+    feats = [jnp.asarray(
+        rng.rand(V, H // (2 ** i), W // (2 ** i), 4).astype(np.float32))
+        for i in range(3)]
+    # include points that land out of image so mask parity is exercised
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, size=(64, 3)).astype(np.float32))
+
+    plain = lookup_feature(pts, imgs, jnp.asarray(intrs), jnp.asarray(c2ws),
+                           feats)
+    packed = lookup_feature(pts, imgs, jnp.asarray(intrs), jnp.asarray(c2ws),
+                            feats,
+                            packed_features=[pack_supercell2d(f) for f in feats],
+                            packed_imgs=pack_supercell2d(imgs))
+    for a, b in zip(plain, packed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_surface_patch_warp_packed_matches_unpacked(rng):
+    """Packed homography patch warp == plain path (values to 1e-5)."""
+    from gens_tpu.ops.interp import pack_supercell2d
+
+    H = W = 48
+    intr, ref_c2w = _simple_cam((0, -2.0, 0), f=80.0, hw=(H, W))
+    src_c2w = look_at(np.array([0.5, -1.9, 0.1], np.float32),
+                      np.zeros(3, np.float32))
+    intrs = jnp.asarray(np.stack([intr, intr]))
+    c2ws = jnp.asarray(np.stack([ref_c2w, src_c2w]))
+
+    images = jnp.asarray(rng.rand(2, H, W, 6).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.2, 0.2, size=(10, 3)).astype(np.float32))
+    n_world = ref_c2w[:3, 3] / np.linalg.norm(ref_c2w[:3, 3])
+    n_cam = ref_c2w[:3, :3].T @ n_world
+    normals = jnp.asarray(np.repeat(n_cam[None], 10, 0).astype(np.float32))
+
+    ref_a, src_a = surface_patch_warp(pts, normals, images, intrs, c2ws,
+                                      patch_size=5)
+    ref_b, src_b = surface_patch_warp(pts, normals, None, intrs, c2ws,
+                                      patch_size=5,
+                                      packed_images=pack_supercell2d(images))
+    np.testing.assert_allclose(np.asarray(ref_a), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(src_a), np.asarray(src_b),
+                               rtol=1e-5, atol=1e-5)
