@@ -48,6 +48,7 @@ def main():
     # same idea in 2D for the source-view feature/RGB warps; with the fused
     # variadic z-merge sort this measures 12.4k -> 22.9k rays/s (+85%)
     cfg.model.color_network.packed_bilerp = True
+    cfg.model.color_network.packed_dtype = "bfloat16"
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

@@ -104,6 +104,9 @@ class BlendingNetConfig:
     # wide 9C-channel gather per (view, scale) instead of 4 narrow ones,
     # packed once per scene (ops/interp.py pack_supercell2d)
     packed_bilerp: bool = False
+    # storage dtype for the packed 2D tables ("float32" | "bfloat16");
+    # bfloat16 halves the gathered bytes (mirrors sdf_network.volume_dtype)
+    packed_dtype: str = "float32"
     # idr-head hyperparameters (reference rendering_network.py:90-151)
     idr_mode: str = "idr"  # idr | no_view_dir | no_normal
     idr_d_hidden: int = 256

@@ -190,15 +190,18 @@ class GenSModel:
         if self.cfg.color_network.packed_bilerp:
             from gens_tpu.models.renderer import make_warp_feature_stack
 
-            packed_feats = [pack_supercell2d(f) for f in features]
-            packed_imgs = pack_supercell2d(imgs)
+            pdt = (jnp.bfloat16
+                   if self.cfg.color_network.packed_dtype == "bfloat16"
+                   else None)
+            packed_feats = [pack_supercell2d(f, dtype=pdt) for f in features]
+            packed_imgs = pack_supercell2d(imgs, dtype=pdt)
             # MFC warp stacks are detached even in training
             # (implicit_surface.py:313-326)
             n_warp = self.cfg.render.warp_scales
             packed_warp = pack_supercell2d(jax.lax.stop_gradient(
-                make_warp_feature_stack(features, n_warp)))
+                make_warp_feature_stack(features, n_warp)), dtype=pdt)
             packed_match_warp = pack_supercell2d(jax.lax.stop_gradient(
-                make_warp_feature_stack(match_features, n_warp)))
+                make_warp_feature_stack(match_features, n_warp)), dtype=pdt)
         return Scene(
             volumes=volumes, mask_volumes=mask_vols, features=features,
             match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws,

@@ -376,13 +376,17 @@ class PackedImage:
     dims: Tuple[int, int]
 
 
-def pack_supercell2d(images: jnp.ndarray) -> PackedImage:
+def pack_supercell2d(images: jnp.ndarray, dtype=None) -> PackedImage:
     """2D analog of :func:`pack_supercell` for view-batched feature maps.
 
     images (V, H, W, C) -> PackedImage with one (9C)-channel row per 2x2
     pixel supercell, zero-padded by one pixel so bilerp's zeros-padding
     semantics are literal. One wide gather then replaces bilerp's 4 narrow
     corner gathers (the same TPU addressing-bound argument as the 3D case).
+
+    ``dtype`` (e.g. bfloat16) stores the table narrow; the weighted combine
+    in :func:`bilerp_supercell` upcasts to the query dtype, same contract
+    as the 3D ``pack_cascade_supercell(dtype=...)``.
     """
     V, H, W, C = images.shape
     ip = jnp.pad(images, ((0, 0), (1, 2), (1, 2), (0, 0)))
@@ -393,7 +397,10 @@ def pack_supercell2d(images: jnp.ndarray) -> PackedImage:
     Sh, Sw = H // 2 + 1, W // 2 + 1
     pat = pat.reshape(V, C, 9, Sh, Sw)
     table = jnp.transpose(pat, (0, 3, 4, 2, 1))  # (V, Sh, Sw, 9, C)
-    return PackedImage(table.reshape(V, Sh * Sw, 9 * C), (H, W))
+    table = table.reshape(V, Sh * Sw, 9 * C)
+    if dtype is not None:
+        table = table.astype(dtype)
+    return PackedImage(table, (H, W))
 
 
 def bilerp_supercell(table: jnp.ndarray, dims: Tuple[int, int],

@@ -255,3 +255,22 @@ def test_supercell_bilerp_grads_match(rng):
         pack_supercell2d(im).table[0], (H, W), xy) ** 2))(imgs)
     np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_supercell_bilerp_bf16_table_close(rng):
+    """bf16-stored packed tables must track the f32 bilerp to bf16 epsilon
+    (the combine upcasts; only the stored corner values are narrowed)."""
+    import jax.numpy as jnp
+    from gens_tpu.ops.interp import bilerp, bilerp_supercell, pack_supercell2d
+
+    imgs = jnp.asarray(rng.rand(2, 33, 47, 6).astype(np.float32))
+    pk = pack_supercell2d(imgs, dtype=jnp.bfloat16)
+    assert pk.table.dtype == jnp.bfloat16
+    xy = jnp.asarray(
+        np.stack([rng.uniform(-2, 48, 500), rng.uniform(-2, 34, 500)],
+                 -1).astype(np.float32))
+    ref = bilerp(imgs[0], xy)
+    got = bilerp_supercell(pk.table[0], pk.dims, xy)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
