@@ -49,6 +49,9 @@ def main():
     # variadic z-merge sort this measures 12.4k -> 22.9k rays/s (+85%)
     cfg.model.color_network.packed_bilerp = True
     cfg.model.color_network.packed_dtype = "bfloat16"
+    # bf16 SDF-MLP compute: the fused value+grad+smooth pass is activation-
+    # bandwidth-bound (PERF.md); params stay f32, outputs return f32
+    cfg.model.sdf_network.mlp_dtype = "bfloat16"
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

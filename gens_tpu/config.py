@@ -89,6 +89,12 @@ class SDFNetConfig:
     # TPU gathers are addressing-bound, so the wide row is nearly free.
     # Costs ~27/8 x the cascade in HBM for the packed tables.
     packed_trilerp: bool = False
+    # compute dtype of the SDF MLP ("float32" | "bfloat16"). Params are
+    # always stored f32; bfloat16 casts the PE'd activations and the
+    # weight-normed weights at matmul time and returns f32 outputs. The
+    # fused value+grad+smooth pass is activation-bandwidth-bound, so this
+    # is a big inference lever; keep f32 for training.
+    mlp_dtype: str = "float32"
 
 
 @dataclass
@@ -107,6 +113,9 @@ class BlendingNetConfig:
     # storage dtype for the packed 2D tables ("float32" | "bfloat16");
     # bfloat16 halves the gathered bytes (mirrors sdf_network.volume_dtype)
     packed_dtype: str = "float32"
+    # compute dtype of the blending MLPs ("float32" | "bfloat16"); params
+    # stay f32, outputs return f32 (same contract as sdf_network.mlp_dtype)
+    mlp_dtype: str = "float32"
     # idr-head hyperparameters (reference rendering_network.py:90-151)
     idr_mode: str = "idr"  # idr | no_view_dir | no_normal
     idr_d_hidden: int = 256

@@ -27,11 +27,12 @@ def _fused_mean_variance(x, weight):
 class MLP(nn.Module):
     features: tuple
     final_act: str = "elu"  # elu | sigmoid | none
+    dtype: object = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, kernel_init=_he)(x)
+            x = nn.Dense(f, kernel_init=_he, dtype=self.dtype)(x)
             if i < len(self.features) - 1:
                 x = nn.elu(x)
         if self.final_act == "elu":
@@ -49,17 +50,24 @@ class BlendingNetwork(nn.Module):
                  mask: jnp.ndarray) -> jnp.ndarray:
         """rgb_feat (N, S, 3+C); ray_diff (N, S, 4); mask (N, S) -> rgb (N, 3)."""
         c = self.cfg
+        # optional bf16 compute (params stay f32): the blending stack is
+        # bandwidth-bound on the (N, S, C) activations
+        cdt = jnp.bfloat16 if c.mlp_dtype == "bfloat16" else None
+        if cdt is not None:
+            rgb_feat = rgb_feat.astype(cdt)
+            ray_diff = ray_diff.astype(cdt)
         mask = mask[..., None].astype(rgb_feat.dtype)  # (N, S, 1)
         num_views = rgb_feat.shape[1]
 
-        direction_feat = MLP((16, c.d_feature + 3))(ray_diff)
+        direction_feat = MLP((16, c.d_feature + 3), dtype=cdt)(ray_diff)
         rgb_in = rgb_feat[..., :3]
         rgb_feat = rgb_feat + direction_feat
 
         if c.anti_alias_pooling:
             s = self.param("s", lambda k: jnp.asarray(0.2, jnp.float32))
             dot_prod = ray_diff[..., 3:4]
-            exp_dot = jnp.exp(jnp.abs(s) * (dot_prod - 1.0))
+            exp_dot = jnp.exp(jnp.abs(s).astype(rgb_feat.dtype)
+                              * (dot_prod - 1.0))
             weight = (exp_dot - jnp.min(exp_dot, axis=1, keepdims=True)) * mask
             weight = weight / (jnp.sum(weight, axis=1, keepdims=True) + 1e-8)
         else:
@@ -73,19 +81,20 @@ class BlendingNetwork(nn.Module):
                                            globalfeat.shape[-1])), rgb_feat],
             axis=-1,
         )
-        x = MLP((64, 32))(x)
+        x = MLP((64, 32), dtype=cdt)(x)
 
-        x_vis = MLP((32, 33))(x * weight)
+        x_vis = MLP((32, 33), dtype=cdt)(x * weight)
         x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
         vis = nn.sigmoid(vis) * mask
         x = x + x_res
-        vis = MLP((32, 1), final_act="sigmoid")(x * vis) * mask
+        vis = MLP((32, 1), final_act="sigmoid", dtype=cdt)(x * vis) * mask
 
         x = jnp.concatenate([x, vis, ray_diff], axis=-1)
-        x = MLP((16, 8, 1), final_act="none")(x)
-        x = jnp.where(mask == 0, -1e9, x)
+        x = MLP((16, 8, 1), final_act="none", dtype=cdt)(x)
+        # blend weights in f32: softmax over a masked -1e9 logit
+        x = jnp.where(mask == 0, -1e9, x.astype(jnp.float32))
         blend = jax.nn.softmax(x, axis=1)
-        return jnp.sum(rgb_in * blend, axis=1)
+        return jnp.sum(rgb_in.astype(jnp.float32) * blend, axis=1)
 
 
 class SingleVarianceNetwork(nn.Module):

@@ -57,7 +57,9 @@ class WNLinear(nn.Module):
             w = v * (g / (jnp.linalg.norm(v, axis=0) + 1e-12))[None, :]
         else:
             w = v
-        return x @ w + b
+        # params stay f32; follow the activation dtype at matmul time so a
+        # bf16 compute path (SDFNetConfig.mlp_dtype) halves activation HBM
+        return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 
 def _softplus100(x):
@@ -182,6 +184,13 @@ class SDFNetwork(nn.Module):
 
         inputs = positional_encoding(pts * c.scale, c.multires)
 
+        # PE runs f32 for angular accuracy; the MLP itself can run bf16
+        # (mlp_dtype) — the fused derivative passes are bandwidth-bound on
+        # the per-layer activations, which this halves. Output returns f32.
+        cdt = jnp.bfloat16 if c.mlp_dtype == "bfloat16" else jnp.float32
+        feats = feats.astype(cdt)
+        inputs = inputs.astype(cdt)
+
         x = inputs
         num_layers = len(self.dims)
         for l in range(num_layers - 1):
@@ -192,6 +201,7 @@ class SDFNetwork(nn.Module):
             x = self.layers[l](x)
             if l < num_layers - 2:
                 x = _softplus100(x)
+        x = x.astype(jnp.float32)
         return jnp.concatenate([x[..., :1] / c.scale, x[..., 1:]], axis=-1)
 
     def sdf(self, pts, volumes):

@@ -56,17 +56,21 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
 
 
 def up_sample_weights(pts: jnp.ndarray, z_vals: jnp.ndarray, sdf: jnp.ndarray,
-                      mask_any: jnp.ndarray, inv_s: float) -> jnp.ndarray:
+                      mask_any: jnp.ndarray, inv_s: float,
+                      voxel_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Section weights for one NeuS up-sampling round at fixed ``inv_s``.
 
     pts: (R, S, 3) the sample points; z_vals: (R, S); sdf: (R, S);
-    mask_any: combined finest-resolution mask volume.
+    mask_any: combined finest-resolution mask volume. ``voxel_mask`` (R, S)
+    skips the per-point mask gather when the caller already carries it
+    (hierarchical_sample merges it alongside the SDF).
     Reference implicit_surface.py:60-107. Returns weights (R, S-1).
     """
     R, S = z_vals.shape
 
-    voxel_mask = lookup_mask(mask_any, pts.reshape(-1, 3))
-    voxel_mask = voxel_mask.reshape(R, S)
+    if voxel_mask is None:
+        voxel_mask = lookup_mask(mask_any, pts.reshape(-1, 3))
+        voxel_mask = voxel_mask.reshape(R, S)
     seg_mask = voxel_mask[:, :-1] * voxel_mask[:, 1:]
 
     radius = jnp.linalg.norm(pts, axis=-1)
@@ -98,15 +102,20 @@ def up_sample_weights(pts: jnp.ndarray, z_vals: jnp.ndarray, sdf: jnp.ndarray,
 
 
 def merge_z_vals(z_vals: jnp.ndarray, sdf: jnp.ndarray, new_z: jnp.ndarray,
-                 new_sdf: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 new_sdf: jnp.ndarray, *extra_pairs) -> Tuple[jnp.ndarray, ...]:
     """Sorted merge of existing and new samples with their SDF values
-    (reference cat_z_vals, implicit_surface.py:111-133) — static shapes."""
-    z_all = jnp.concatenate([z_vals, new_z], axis=-1)
-    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
-    # one fused variadic sort instead of argsort + two gathers
-    z_sorted, sdf_sorted = jax.lax.sort(
-        (z_all, sdf_all), dimension=-1, num_keys=1)
-    return z_sorted, sdf_sorted
+    (reference cat_z_vals, implicit_surface.py:111-133) — static shapes.
+
+    ``extra_pairs``: optional further (old, new) array pairs carried through
+    the same sort (e.g. the per-sample voxel mask). Returns
+    (z_sorted, sdf_sorted, *extras_sorted)."""
+    assert len(extra_pairs) % 2 == 0
+    cols = [jnp.concatenate([z_vals, new_z], axis=-1),
+            jnp.concatenate([sdf, new_sdf], axis=-1)]
+    for old, new in zip(extra_pairs[::2], extra_pairs[1::2]):
+        cols.append(jnp.concatenate([old, new], axis=-1))
+    # one fused variadic sort instead of argsort + N gathers
+    return jax.lax.sort(tuple(cols), dimension=-1, num_keys=1)
 
 
 def hierarchical_sample(
@@ -144,22 +153,31 @@ def hierarchical_sample(
     def masked_sdf(pts_flat):
         sdf = sdf_fn(pts_flat)
         m = lookup_mask(mask_any, pts_flat)
-        return jnp.where(m > 0, sdf, SDF_SENTINEL)
+        return jnp.where(m > 0, sdf, SDF_SENTINEL), m
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    sdf = masked_sdf(pts.reshape(-1, 3)).reshape(R, n_samples)
+    sdf, vmask = masked_sdf(pts.reshape(-1, 3))
+    sdf = sdf.reshape(R, n_samples)
+    # carry the voxel mask through the merges instead of re-gathering it for
+    # every sample each round (old samples' masks never change)
+    vmask = vmask.reshape(R, n_samples)
 
     n_per_step = n_importance // up_sample_steps
     for i in range(up_sample_steps):
-        weights = up_sample_weights(pts, z_vals, sdf, mask_any, 64.0 * 2 ** i)
+        weights = up_sample_weights(pts, z_vals, sdf, mask_any, 64.0 * 2 ** i,
+                                    voxel_mask=vmask)
         new_z = sample_pdf(z_vals, weights, n_per_step)
         new_pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
         if i + 1 < up_sample_steps:
-            new_sdf = masked_sdf(new_pts.reshape(-1, 3)).reshape(R, n_per_step)
+            new_sdf, new_mask = masked_sdf(new_pts.reshape(-1, 3))
+            new_sdf = new_sdf.reshape(R, n_per_step)
+            new_mask = new_mask.reshape(R, n_per_step)
         else:
             # last round: SDF no longer needed (reference last=True branch)
             new_sdf = jnp.full((R, n_per_step), SDF_SENTINEL, z_vals.dtype)
-        z_vals, sdf = merge_z_vals(z_vals, sdf, new_z, new_sdf)
+            new_mask = jnp.zeros((R, n_per_step), vmask.dtype)
+        z_vals, sdf, vmask = merge_z_vals(z_vals, sdf, new_z, new_sdf,
+                                          vmask, new_mask)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     return jax.lax.stop_gradient(z_vals)

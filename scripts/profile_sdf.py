@@ -71,35 +71,34 @@ def main():
 
     sdf_mod = model.renderer.sdf
 
-    def full(params_sdf, p):
-        return sdf_mod.apply(params_sdf, p, packed)
-
     # -- stages ---------------------------------------------------------
-    timeit("cascade gather (packed, bf16)", lambda p: (
-        lookup_volume_cascade_supercell(packed, p)), pts0)
+    # packed tables ride as jit ARGUMENTS (pytree), never closure constants
+    timeit("cascade gather (packed, bf16)",
+           lambda p, pk: lookup_volume_cascade_supercell(pk, p), pts0, packed)
 
-    timeit("full forward", lambda p, w: full(w, p), pts0, sdf_params)
+    timeit("full forward", lambda p, w, pk: sdf_mod.apply(w, p, pk),
+           pts0, sdf_params, packed)
 
-    def grad_rev(p, w):
-        return jax.grad(lambda q: sdf_mod.apply(w, q, packed,
+    def grad_rev(p, w, pk):
+        return jax.grad(lambda q: sdf_mod.apply(w, q, pk,
                                                 method=SDFNetwork.sdf).sum())(p)
 
-    timeit("grad (reverse)", grad_rev, pts0, sdf_params)
+    timeit("grad (reverse)", grad_rev, pts0, sdf_params, packed)
 
-    def grad_fwd(p, w):
+    def grad_fwd(p, w, pk):
         # 3 jvp passes, one per coordinate direction
-        f = lambda q: sdf_mod.apply(w, q, packed, method=SDFNetwork.sdf)
+        f = lambda q: sdf_mod.apply(w, q, pk, method=SDFNetwork.sdf)
         outs = []
         for d in range(3):
             t = jnp.zeros_like(p).at[:, d].set(1.0)
             outs.append(jax.jvp(f, (p,), (t,))[1])
         return jnp.stack(outs, -1)
 
-    timeit("grad (3x forward jvp)", grad_fwd, pts0, sdf_params)
+    timeit("grad (3x forward jvp)", grad_fwd, pts0, sdf_params, packed)
 
-    def fused_current(p, w):
+    def fused_current(p, w, pk):
         def grad_fn(q):
-            out, vjp = jax.vjp(lambda r: sdf_mod.apply(w, r, packed), q)
+            out, vjp = jax.vjp(lambda r: sdf_mod.apply(w, r, pk), q)
             ct = jnp.zeros_like(out).at[:, 0].set(1.0)
             (g,) = vjp(ct)
             return g, out
@@ -107,12 +106,12 @@ def main():
         return out, g, sm
 
     timeit("fused value+grad+smooth (jvp-of-vjp)", fused_current,
-           pts0, sdf_params)
+           pts0, sdf_params, packed)
 
-    def fused_rev_over_fwd(p, w):
+    def fused_rev_over_fwd(p, w, pk):
         # smooth = grad of the directional derivative along ones;
         # grad + value from the same vjp as the current path
-        f = lambda q: sdf_mod.apply(w, q, packed)
+        f = lambda q: sdf_mod.apply(w, q, pk)
 
         def dir_deriv(q):
             out, tang = jax.jvp(f, (q,), (jnp.ones_like(q),))
@@ -125,7 +124,7 @@ def main():
         return out2, g, sm
 
     timeit("fused alt (vjp-of-jvp + separate grad)", fused_rev_over_fwd,
-           pts0, sdf_params)
+           pts0, sdf_params, packed)
 
     # bf16 MLP ceiling: params + compute in bf16 (numerics unchecked here,
     # this is a speed-of-light probe)
@@ -133,22 +132,22 @@ def main():
         lambda a: a.astype(jnp.bfloat16)
         if a.dtype == jnp.float32 else a, sdf_params)
 
-    def full_bf16(p, w):
-        return sdf_mod.apply(w, p.astype(jnp.bfloat16), packed)
+    timeit("full forward (bf16 params+pts)",
+           lambda p, w, pk: sdf_mod.apply(w, p.astype(jnp.bfloat16), pk),
+           pts0, bf16_params, packed)
 
-    timeit("full forward (bf16 params+pts)", full_bf16, pts0, bf16_params)
-
-    def fused_bf16(p, w):
+    def fused_bf16(p, w, pk):
         def grad_fn(q):
             out, vjp = jax.vjp(
-                lambda r: sdf_mod.apply(w, r.astype(jnp.bfloat16), packed), q)
+                lambda r: sdf_mod.apply(w, r.astype(jnp.bfloat16), pk), q)
             ct = jnp.zeros_like(out).at[:, 0].set(1.0)
             (g,) = vjp(ct)
             return g, out
         (g, out), (sm, _) = jax.jvp(grad_fn, (p,), (jnp.ones_like(p),))
         return out, g, sm
 
-    timeit("fused value+grad+smooth (bf16)", fused_bf16, pts0, bf16_params)
+    timeit("fused value+grad+smooth (bf16)", fused_bf16,
+           pts0, bf16_params, packed)
 
 
 if __name__ == "__main__":
