@@ -52,6 +52,9 @@ def main():
     # bf16 SDF-MLP compute: the fused value+grad+smooth pass is activation-
     # bandwidth-bound (PERF.md); params stay f32, outputs return f32
     cfg.model.sdf_network.mlp_dtype = "bfloat16"
+    # bf16 blending-MLP compute (per-sample per-view IBRNet fusion is run at
+    # R*S*V points; params stay f32, blended RGB returns f32)
+    cfg.model.color_network.mlp_dtype = "bfloat16"
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

@@ -40,7 +40,11 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # dense comparison instead of the default binary-search lowering: at
+    # (R~1k, B~65, n~16) the 1M-element compare is one clean VPU pass while
+    # 'scan' is a log(B)-step fori_loop of dynamic slices (TPU-hostile)
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(
+        c, uu, side="right", method="compare_all"))(cdf, u)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
