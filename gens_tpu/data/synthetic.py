@@ -36,8 +36,14 @@ def sphere_sdf(pts: np.ndarray, radius: float = 0.5) -> np.ndarray:
 
 
 def render_sphere_view(c2w: np.ndarray, intr: np.ndarray, hw, radius=0.5,
-                       light_dir=(0.4, 0.3, -0.85)) -> np.ndarray:
-    """Analytic ray-traced shaded sphere image (H, W, 3) in [0, 1]."""
+                       light_dir=(0.4, 0.3, -0.85), albedo_freq=6.0,
+                       albedo_phase=(0.0, 0.0), tints=(1.0, 0.8, 0.6),
+                       return_mask: bool = False):
+    """Analytic ray-traced shaded sphere image (H, W, 3) in [0, 1].
+
+    ``albedo_freq/phase`` and ``tints`` parameterize the surface texture so
+    multi-scene training sees varied appearance (the generalization fixture);
+    defaults reproduce the original single look."""
     H, W = hw
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).astype(np.float32)
@@ -61,16 +67,28 @@ def render_sphere_view(c2w: np.ndarray, intr: np.ndarray, hw, radius=0.5,
     shade = np.clip(-np.sum(normals * light, axis=-1), 0.1, 1.0)
 
     # mildly textured albedo so NCC/blending have signal
-    albedo = 0.5 + 0.25 * np.sin(6.0 * pts[..., 0]) * np.cos(6.0 * pts[..., 1])
+    albedo = 0.5 + 0.25 * (np.sin(albedo_freq * pts[..., 0] + albedo_phase[0])
+                           * np.cos(albedo_freq * pts[..., 1]
+                                    + albedo_phase[1]))
     img = np.zeros((H, W, 3), np.float32)
-    for ch, tint in enumerate((1.0, 0.8, 0.6)):
+    for ch, tint in enumerate(tints):
         img[..., ch] = np.where(hit, shade * albedo * tint, 0.05)
+    if return_mask:
+        return img, hit.astype(np.float32)
     return img
 
 
 def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
-               cam_dist: float = 2.0, n_rays: int = 64, seed: int = 0):
-    """Build a full training-style input dict for a synthetic sphere scene."""
+               cam_dist: float = 2.0, n_rays: int = 64, seed: int = 0,
+               ang0: float = 0.0, light_dir=(0.4, 0.3, -0.85),
+               albedo_freq: float = 6.0, albedo_phase=(0.0, 0.0),
+               tints=(1.0, 0.8, 0.6)):
+    """Build a full training-style input dict for a synthetic sphere scene.
+
+    The optional appearance/geometry knobs (radius, camera ring offset
+    ``ang0``, light direction, albedo texture, tints) let a multi-scene
+    generalization fixture draw varied scenes; defaults reproduce the
+    original fixture exactly."""
     H, W = hw
     rng = np.random.RandomState(seed)
 
@@ -79,16 +97,22 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
                      [0, focal, H / 2.0],
                      [0, 0, 1]], np.float32)
 
-    c2ws, imgs = [], []
+    c2ws, imgs, masks = [], [], []
     for i in range(n_views):
-        ang = 2 * np.pi * i / max(n_views, 1) * 0.25  # cluster views
+        ang = ang0 + 2 * np.pi * i / max(n_views, 1) * 0.25  # cluster views
         eye = cam_dist * np.array(
             [np.cos(ang), np.sin(ang), 0.35], np.float32)
         c2w = look_at(eye, np.zeros(3, np.float32))
         c2ws.append(c2w)
-        imgs.append(render_sphere_view(c2w, intr, hw, radius))
+        img, mask = render_sphere_view(
+            c2w, intr, hw, radius, light_dir=light_dir,
+            albedo_freq=albedo_freq, albedo_phase=albedo_phase, tints=tints,
+            return_mask=True)
+        imgs.append(img)
+        masks.append(mask)
     c2ws = np.stack(c2ws)
     imgs = np.stack(imgs)
+    masks = np.stack(masks)
     intrs = np.repeat(intr[None], n_views, axis=0)
 
     # ray batch from the reference view
@@ -116,6 +140,7 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
         "far": far,
         "color": color.astype(np.float32),
         "radius": radius,
+        "view_masks": masks,
     }
 
 
@@ -203,8 +228,8 @@ class SyntheticDataset:
             "rays_o": rays_o, "rays_d": rays_d, "color": color,
             "depth": depth,
             "depth_ref": depth_ref,
-            "masks": np.ones((self.n_views, H, W), np.float32),
-            "mask_ref": np.ones((H, W), np.float32),
+            "masks": out["view_masks"],
+            "mask_ref": out["view_masks"][0],
             "bound_min": np.array([-1, -1, -1], np.float32),
             "bound_max": np.array([1, 1, 1], np.float32),
             "hw": np.array([H // stride, W // stride], np.int64),

@@ -30,6 +30,12 @@ def main(argv=None):
                         help="dotted config overrides, e.g. train.epochs=10")
     args = parser.parse_args(argv)
 
+    # multi-host bring-up (env/SLURM rank detection; no-op single-process) —
+    # must run before any JAX backend use
+    from gens_tpu.parallel.distributed import initialize
+
+    initialize()
+
     cfg = load_config(args.conf, args.overrides)
     cfg.mode = args.mode
     if args.mesh_resolution is not None:

@@ -41,8 +41,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit torch-style padding (k//2 both sides): flax 'SAME' pads
+        # asymmetrically for stride-2 on even inputs ((0,1) for k=3 instead
+        # of torch's (1,1)), which would silently shift every strided stage
+        # half a pixel off the pretrained weights
+        pad = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
                     feature_group_count=self.groups, use_bias=False,
                     name="conv")(x)
         # inference-mode BatchNorm: y = (x - mean) / sqrt(var) * scale + bias

@@ -210,13 +210,21 @@ class Renderer:
         R, S = z_vals.shape
         volumes, mask_volumes = scene.volumes, scene.mask_volumes
         # Packed supercell tables are built by a patch-extraction conv whose
-        # BACKWARD provokes a pathological XLA layout (compile-time OOM), so
-        # in training the grad-carrying SDF evals use the raw volumes and
-        # only gradient-free/detached uses go through the packed tables
-        # (their pack op then has no transpose). Inference uses packed
-        # everywhere.
+        # BACKWARD provokes a pathological XLA layout (compile-time OOM).
+        # Training therefore routes grad-carrying SDF evals through the
+        # packed-DIFF chain (ops/interp.py): forward reads the packed tables,
+        # gradients scatter into the raw volumes, the pack conv appears in
+        # no backward. Inference uses the plain packed lookup.
         sdf_vols_nograd = scene_sdf_volumes(scene)
-        sdf_vols = volumes if train else sdf_vols_nograd
+        if not train:
+            sdf_vols = sdf_vols_nograd
+        elif scene.packed_volumes is not None:
+            from gens_tpu.ops.interp import DiffPackedCascade
+
+            sdf_vols = DiffPackedCascade(list(volumes),
+                                         list(scene.packed_volumes))
+        else:
+            sdf_vols = volumes
         mask_any = scene_mask_any(scene)
 
         dists = z_vals[:, 1:] - z_vals[:, :-1]
@@ -255,8 +263,8 @@ class Renderer:
             # -- source-view color blending (implicit_surface.py:194-204)
             rgb_feat, ray_diff, view_mask = lookup_feature(
                 pts_flat, scene.imgs, scene.intrs, scene.c2ws, scene.features,
-                packed_features=None if train else scene.packed_features,
-                packed_imgs=None if train else scene.packed_imgs)
+                packed_features=scene.packed_features,
+                packed_imgs=scene.packed_imgs, diff=train)
             sampled_color = self.blending.apply(
                 params["blending"], rgb_feat, ray_diff, view_mask)
             sampled_color = sampled_color * voxel_mask[:, None]
@@ -461,9 +469,16 @@ class Renderer:
         """SDF at back-projected pseudo points, zero outside the voxel mask
         (implicit_surface.py:489-497)."""
         m = lookup_mask(scene_mask_any(scene), pseudo_pts)
-        # training path (pseudo-SDF loss backprops into the volumes), so the
-        # raw cascade is used — see render_core on pack-conv backward
-        sdf = self.sdf.apply(params["sdf"], pseudo_pts, scene.volumes,
+        # training path (pseudo-SDF loss backprops into the volumes): the
+        # packed-diff cascade when tables exist, else the raw cascade
+        if scene.packed_volumes is not None:
+            from gens_tpu.ops.interp import DiffPackedCascade
+
+            vols = DiffPackedCascade(list(scene.volumes),
+                                     list(scene.packed_volumes))
+        else:
+            vols = scene.volumes
+        sdf = self.sdf.apply(params["sdf"], pseudo_pts, vols,
                              method=SDFNetwork.sdf)
         return jnp.where(m > 0, sdf, 0.0)[:, None]
 

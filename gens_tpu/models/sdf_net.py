@@ -25,8 +25,10 @@ from flax import linen as nn
 
 from gens_tpu.config import SDFNetConfig
 from gens_tpu.models.embedder import positional_encoding, positional_encoding_dim
-from gens_tpu.ops.interp import (PackedVolume, lookup_volume_cascade,
+from gens_tpu.ops.interp import (DiffPackedCascade, PackedVolume,
+                                 lookup_volume_cascade,
                                  lookup_volume_cascade_packed,
+                                 lookup_volume_cascade_packed_diff,
                                  lookup_volume_cascade_supercell,
                                  pack_cascade, pack_cascade_supercell)
 
@@ -150,7 +152,13 @@ class SDFNetwork(nn.Module):
     def __call__(self, pts: jnp.ndarray, volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
         """pts (N, 3) -> (N, d_out): [sdf, latent...]."""
         c = self.cfg
-        if isinstance(volumes[0], PackedVolume):
+        if isinstance(volumes, DiffPackedCascade):
+            # training fast path: forward reads the packed tables (one wide
+            # gather per scale), gradients scatter into the RAW volumes —
+            # the pack conv appears in no backward (interp.py packed-diff)
+            feats = lookup_volume_cascade_packed_diff(volumes, pts)
+            feats = feats.astype(jnp.float32)
+        elif isinstance(volumes[0], PackedVolume):
             # supercell-packed lookup: ONE wide (27C-channel) gather per
             # scale instead of 8 narrow ones — TPU gathers are
             # addressing-bound, so row width is nearly free (interp.py
@@ -160,12 +168,16 @@ class SDFNetwork(nn.Module):
             feats = feats.astype(jnp.float32)
         elif c.packed_trilerp:
             # packed lookup requested but raw volumes given (e.g. finetune,
-            # where the volumes are trained parameters): pack inline — the
-            # patch conv is differentiable, so volume gradients flow
+            # where the volumes are trained parameters): pack inline with a
+            # stop_gradient and route gradients to the raw volumes through
+            # the packed-diff chain (XLA CSE merges the repeated packs
+            # inside one jit; the pack conv's pathological backward never
+            # materializes)
             packed = pack_cascade_supercell(
-                volumes,
+                [jax.lax.stop_gradient(v) for v in volumes],
                 dtype=(jnp.bfloat16 if c.volume_dtype == "bfloat16" else None))
-            feats = lookup_volume_cascade_supercell(packed, pts)
+            feats = lookup_volume_cascade_packed_diff(
+                DiffPackedCascade(list(volumes), packed), pts)
             feats = feats.astype(jnp.float32)
         elif c.fused_cascade and len({v.shape[-1] for v in volumes}) == 1:
             # fused path: one gather for the whole cascade (and one scatter

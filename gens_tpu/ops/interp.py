@@ -454,6 +454,481 @@ def bilerp_supercell(table: jnp.ndarray, dims: Tuple[int, int],
     return jnp.dot(rows.astype(dt) * w9c, S, precision=hi)  # (N, C)
 
 
+# -- differentiable packed lookups (training fast path) ----------------------
+#
+# The supercell tables above are built by a patch-extraction convolution whose
+# BACKWARD provokes a pathological XLA layout on TPU (a 128x-padded 35 GB
+# buffer — see PERF.md). So round 1 used packed tables only on gradient-free
+# paths and trained through the raw 8-narrow-gather trilerp. The functions
+# below close that gap (the VERDICT r1 item): a jax.custom_jvp chain
+#
+#   value  -> spatial gradient -> spatial Hessian -> (third derivative)
+#
+# where every PRIMAL reads the packed table (one wide gather), the
+# volume-tangent path is the plain raw-gather trilerp applied to the TANGENT
+# volume (whose reverse-mode transpose is a direct scatter into the raw
+# volume layout — the pack conv never appears in any backward), and the
+# point-tangent path reads the next-order derivative from the same packed
+# rows. Training needs derivatives up to (2nd in pts) x (1st in volume) —
+# Eikonal and the smoothness Hessian·1 term differentiated w.r.t. params —
+# which this chain covers exactly; the third-spatial-derivative tensor at the
+# end is computed from the (stop-gradient) table only, dropping 4th-order
+# mixed terms no loss ever uses.
+
+
+def _sc_prepare3(dims: Tuple[int, int, int], pts: jnp.ndarray):
+    """Shared supercell addressing: row index, per-axis corner parity and
+    fractional weights, validity. Matches :func:`trilerp_supercell`."""
+    X, Y, Z = dims
+    Sx, Sy, Sz = X // 2 + 1, Y // 2 + 1, Z // 2 + 1
+    x = _unnormalize(pts[..., 0], X)
+    y = _unnormalize(pts[..., 1], Y)
+    z = _unnormalize(pts[..., 2], Z)
+    x0f = jnp.floor(jax.lax.stop_gradient(x))
+    y0f = jnp.floor(jax.lax.stop_gradient(y))
+    z0f = jnp.floor(jax.lax.stop_gradient(z))
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    z0 = z0f.astype(jnp.int32)
+    wx1, wy1, wz1 = x - x0f, y - y0f, z - z0f
+    ok = ((x0 >= -1) & (x0 <= X - 1) & (y0 >= -1) & (y0 <= Y - 1)
+          & (z0 >= -1) & (z0 <= Z - 1))
+    px = jnp.clip(x0 + 1, 0, X)
+    py = jnp.clip(y0 + 1, 0, Y)
+    pz = jnp.clip(z0 + 1, 0, Z)
+    sx, ox = px // 2, px % 2
+    sy, oy = py // 2, py % 2
+    sz, oz = pz // 2, pz % 2
+    idx = (sx * Sy + sy) * Sz + sz
+    return idx, (ox, oy, oz), (wx1, wy1, wz1), ok
+
+
+def _axis_u(o, w1, dt):
+    """Value weight 3-vector u with u[o] = 1-w, u[o+1] = w."""
+    iota = jnp.arange(3, dtype=jnp.int32)[None, :]
+    sel0 = (iota == o[:, None]).astype(dt)
+    sel1 = (iota == (o + 1)[:, None]).astype(dt)
+    return sel0 * (1.0 - w1)[:, None] + sel1 * w1[:, None]
+
+
+def _axis_du(o, dt):
+    """d/d(unnormalized coord) of :func:`_axis_u`: -1 at slot o, +1 at o+1."""
+    iota = jnp.arange(3, dtype=jnp.int32)[None, :]
+    sel0 = (iota == o[:, None]).astype(dt)
+    sel1 = (iota == (o + 1)[:, None]).astype(dt)
+    return sel1 - sel0
+
+
+def _sc_contract3(rows: jnp.ndarray, ux, uy, uz, C: int) -> jnp.ndarray:
+    """Factorized 3x3x3 contraction via static 0/1 matmuls (MXU-clean; tiny
+    minor-dim einsums relayout horribly — see trilerp_supercell)."""
+    dt = ux.dtype
+    gx, gy, gz = np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
+                             indexing="ij")
+    EX = jnp.asarray((np.arange(3)[:, None] == gx.reshape(-1)[None]), dt)
+    EY = jnp.asarray((np.arange(3)[:, None] == gy.reshape(-1)[None]), dt)
+    EZ = jnp.asarray((np.arange(3)[:, None] == gz.reshape(-1)[None]), dt)
+    R = jnp.asarray(np.repeat(np.eye(27), C, axis=1), dt)
+    S = jnp.asarray(np.tile(np.eye(C), (27, 1)), dt)
+    hi = jax.lax.Precision.HIGHEST
+    w27 = (jnp.dot(ux, EX, precision=hi) * jnp.dot(uy, EY, precision=hi)
+           * jnp.dot(uz, EZ, precision=hi))
+    w = jnp.dot(w27, R, precision=hi)
+    return jnp.dot(rows.astype(dt) * w, S, precision=hi)
+
+
+def supercell_grad(table: jnp.ndarray, dims: Tuple[int, int, int],
+                   pts: jnp.ndarray) -> jnp.ndarray:
+    """Spatial gradient of the trilinear interpolant from the packed table:
+    d trilerp(volume, pts) / d pts, shape ``(N, C, 3)`` (normalized-coord
+    units, matching ``jax.grad`` of :func:`trilerp`)."""
+    X, Y, Z = dims
+    C = table.shape[-1] // 27
+    idx, (ox, oy, oz), (wx1, wy1, wz1), ok = _sc_prepare3(dims, pts)
+    rows = jnp.take(table, idx, axis=0)
+    dt = wx1.dtype
+    okf = ok.astype(dt)
+    ux, uy, uz = _axis_u(ox, wx1, dt), _axis_u(oy, wy1, dt), _axis_u(oz, wz1, dt)
+    dux, duy, duz = _axis_du(ox, dt), _axis_du(oy, dt), _axis_du(oz, dt)
+    gx = _sc_contract3(rows, dux, uy, uz, C) * (0.5 * (X - 1))
+    gy = _sc_contract3(rows, ux, duy, uz, C) * (0.5 * (Y - 1))
+    gz = _sc_contract3(rows, ux, uy, duz, C) * (0.5 * (Z - 1))
+    return jnp.stack([gx, gy, gz], axis=-1) * okf[:, None, None]
+
+
+def supercell_hess(table: jnp.ndarray, dims: Tuple[int, int, int],
+                   pts: jnp.ndarray) -> jnp.ndarray:
+    """Spatial Hessian of the trilinear interpolant from the packed table,
+    ``(N, C, 3, 3)``. Within a cell the pure second derivatives vanish; only
+    the three mixed terms are nonzero (symmetric)."""
+    X, Y, Z = dims
+    C = table.shape[-1] // 27
+    idx, (ox, oy, oz), (wx1, wy1, wz1), ok = _sc_prepare3(dims, pts)
+    rows = jnp.take(table, idx, axis=0)
+    dt = wx1.dtype
+    okf = ok.astype(dt)
+    ux, uy, uz = _axis_u(ox, wx1, dt), _axis_u(oy, wy1, dt), _axis_u(oz, wz1, dt)
+    dux, duy, duz = _axis_du(ox, dt), _axis_du(oy, dt), _axis_du(oz, dt)
+    sx, sy, sz = 0.5 * (X - 1), 0.5 * (Y - 1), 0.5 * (Z - 1)
+    hxy = _sc_contract3(rows, dux, duy, uz, C) * (sx * sy)
+    hxz = _sc_contract3(rows, dux, uy, duz, C) * (sx * sz)
+    hyz = _sc_contract3(rows, ux, duy, duz, C) * (sy * sz)
+    zero = jnp.zeros_like(hxy)
+    H = jnp.stack([
+        jnp.stack([zero, hxy, hxz], axis=-1),
+        jnp.stack([hxy, zero, hyz], axis=-1),
+        jnp.stack([hxz, hyz, zero], axis=-1),
+    ], axis=-2)  # (N, C, 3, 3)
+    return H * okf[:, None, None, None]
+
+
+def supercell_third(table: jnp.ndarray, dims: Tuple[int, int, int],
+                    pts: jnp.ndarray) -> jnp.ndarray:
+    """Third spatial derivative tensor ``(N, C, 3, 3, 3)``: the only nonzero
+    entries are the 6 permutations of (x, y, z), all equal to the cell's
+    d³/dxdydz value (piecewise constant)."""
+    X, Y, Z = dims
+    C = table.shape[-1] // 27
+    idx, (ox, oy, oz), (wx1, wy1, wz1), ok = _sc_prepare3(dims, pts)
+    rows = jnp.take(table, idx, axis=0)
+    dt = wx1.dtype
+    okf = ok.astype(dt)
+    dux, duy, duz = _axis_du(ox, dt), _axis_du(oy, dt), _axis_du(oz, dt)
+    s = 0.125 * (X - 1) * (Y - 1) * (Z - 1)
+    t3 = _sc_contract3(rows, dux, duy, duz, C) * s * okf[:, None]  # (N, C)
+    perm = np.zeros((3, 3, 3), np.float32)
+    for i, j, k in ((0, 1, 2), (0, 2, 1), (1, 0, 2),
+                    (1, 2, 0), (2, 0, 1), (2, 1, 0)):
+        perm[i, j, k] = 1.0
+    return t3[..., None, None, None] * jnp.asarray(perm, dt)
+
+
+def _corner_vals3(volume: jnp.ndarray, pts: jnp.ndarray):
+    """Eight masked corner values + fractional weights for the raw trilerp;
+    linear in ``volume`` (the gather transposes to 8 scatters). Shared by the
+    raw derivative helpers so value/grad/Hessian reuse ONE set of gathers."""
+    X, Y, Z, C = volume.shape
+    x = _unnormalize(pts[..., 0], X)
+    y = _unnormalize(pts[..., 1], Y)
+    z = _unnormalize(pts[..., 2], Z)
+    x0f = jnp.floor(jax.lax.stop_gradient(x))
+    y0f = jnp.floor(jax.lax.stop_gradient(y))
+    z0f = jnp.floor(jax.lax.stop_gradient(z))
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    z0 = z0f.astype(jnp.int32)
+    flat = volume.reshape(X * Y * Z, C)
+    vals = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ix, iy, iz = x0 + dx, y0 + dy, z0 + dz
+                valid = ((ix >= 0) & (ix < X) & (iy >= 0) & (iy < Y)
+                         & (iz >= 0) & (iz < Z))
+                ixc = jnp.clip(ix, 0, X - 1)
+                iyc = jnp.clip(iy, 0, Y - 1)
+                izc = jnp.clip(iz, 0, Z - 1)
+                v = jnp.take(flat, (ixc * Y + iyc) * Z + izc, axis=0)
+                vals[(dx, dy, dz)] = v * valid.astype(volume.dtype)[:, None]
+    w1 = (x - x0f, y - y0f, z - z0f)
+    scales = (0.5 * (X - 1), 0.5 * (Y - 1), 0.5 * (Z - 1))
+    return vals, w1, scales
+
+
+def _raw_deriv3(volume: jnp.ndarray, pts: jnp.ndarray, diff_axes):
+    """Derivative of trilerp w.r.t. the normalized axes in ``diff_axes``
+    (a set), from raw corner gathers. () -> value, {0} -> d/dx, ..."""
+    vals, w1, scales = _corner_vals3(volume, pts)
+    out = 0.0
+    for (dx, dy, dz), v in vals.items():
+        w = None
+        for axis, d in enumerate((dx, dy, dz)):
+            if axis in diff_axes:
+                f = jnp.full_like(w1[axis], scales[axis])
+                f = f if d else -f
+            else:
+                f = w1[axis] if d else (1.0 - w1[axis])
+            w = f if w is None else w * f
+        out = out + v * w[:, None]
+    return out
+
+
+def trilerp_spatial_grad(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Raw-gather spatial gradient ``(N, C, 3)``; linear in ``volume``."""
+    return jnp.stack([_raw_deriv3(volume, pts, {a}) for a in range(3)],
+                     axis=-1)
+
+
+def trilerp_spatial_hess(volume: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Raw-gather spatial Hessian ``(N, C, 3, 3)``; linear in ``volume``."""
+    hxy = _raw_deriv3(volume, pts, {0, 1})
+    hxz = _raw_deriv3(volume, pts, {0, 2})
+    hyz = _raw_deriv3(volume, pts, {1, 2})
+    zero = jnp.zeros_like(hxy)
+    return jnp.stack([
+        jnp.stack([zero, hxy, hxz], axis=-1),
+        jnp.stack([hxy, zero, hyz], axis=-1),
+        jnp.stack([hxz, hyz, zero], axis=-1),
+    ], axis=-2)
+
+
+def _nonzero_tan(t) -> bool:
+    from jax.custom_derivatives import SymbolicZero
+
+    return not isinstance(t, SymbolicZero)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _pd_hess(dims, volume, table, pts):
+    return supercell_hess(table, dims, pts)
+
+
+def _pd_hess_jvp(dims, primals, tangents):
+    volume, table, pts = primals
+    dvol, _dtable, dpts = tangents
+    out = supercell_hess(table, dims, pts)
+    tan = None
+    if _nonzero_tan(dvol):
+        tan = trilerp_spatial_hess(dvol, pts)
+    if _nonzero_tan(dpts):
+        # third derivative from the (stop-gradient) table: its own
+        # volume-dependence would only matter at 4th order
+        t3 = supercell_third(table, dims, pts)
+        t = jnp.einsum("ncijk,nk->ncij", t3, dpts)
+        tan = t if tan is None else tan + t
+    return out, tan if tan is not None else jnp.zeros_like(out)
+
+
+_pd_hess.defjvp(_pd_hess_jvp, symbolic_zeros=True)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _pd_grad(dims, volume, table, pts):
+    return supercell_grad(table, dims, pts)
+
+
+def _pd_grad_jvp(dims, primals, tangents):
+    volume, table, pts = primals
+    dvol, _dtable, dpts = tangents
+    out = supercell_grad(table, dims, pts)
+    tan = None
+    if _nonzero_tan(dvol):
+        tan = trilerp_spatial_grad(dvol, pts)
+    if _nonzero_tan(dpts):
+        h = _pd_hess(dims, volume, table, pts)
+        t = jnp.einsum("ncij,nj->nci", h, dpts)
+        tan = t if tan is None else tan + t
+    return out, tan if tan is not None else jnp.zeros_like(out)
+
+
+_pd_grad.defjvp(_pd_grad_jvp, symbolic_zeros=True)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _pd_value(dims, volume, table, pts):
+    return trilerp_supercell(table, dims, pts)
+
+
+def _pd_value_jvp(dims, primals, tangents):
+    volume, table, pts = primals
+    dvol, _dtable, dpts = tangents
+    out = trilerp_supercell(table, dims, pts)
+    tan = None
+    if _nonzero_tan(dvol):
+        tan = trilerp(dvol, pts)
+    if _nonzero_tan(dpts):
+        g = _pd_grad(dims, volume, table, pts)
+        t = jnp.einsum("ncd,nd->nc", g, dpts)
+        tan = t if tan is None else tan + t
+    return out, tan if tan is not None else jnp.zeros_like(out)
+
+
+_pd_value.defjvp(_pd_value_jvp, symbolic_zeros=True)
+
+
+def trilerp_packed_diff(volume: jnp.ndarray, packed: PackedVolume,
+                        pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilerp whose forward reads the packed supercell table (one wide
+    gather) but whose volume-cotangent scatters directly into the RAW volume
+    layout — the pack convolution appears in no backward pass. Derivatives
+    match :func:`trilerp` through (2nd order in pts) x (1st in volume),
+    everything training uses."""
+    return _pd_value(packed.dims, volume,
+                     jax.lax.stop_gradient(packed.table), pts)
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["volumes", "packed"], meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class DiffPackedCascade:
+    """A volume cascade carried as (raw volumes, packed tables) so training
+    lookups can read the packed tables while gradients target the raw
+    layout. Drop-in ``volumes`` argument for ``SDFNetwork``."""
+
+    volumes: Any
+    packed: Any
+
+
+def lookup_volume_cascade_packed_diff(cascade: DiffPackedCascade,
+                                      pts: jnp.ndarray) -> jnp.ndarray:
+    """Cascade lookup through :func:`trilerp_packed_diff` per scale."""
+    return jnp.concatenate(
+        [trilerp_packed_diff(v, p, pts)
+         for v, p in zip(cascade.volumes, cascade.packed)], axis=-1)
+
+
+# -- 2D analog (source-view feature warps) -----------------------------------
+
+
+def _sc_prepare2(dims: Tuple[int, int], xy: jnp.ndarray):
+    H, W = dims
+    Sw = W // 2 + 1
+    x, y = xy[..., 0], xy[..., 1]
+    x0f = jnp.floor(jax.lax.stop_gradient(x))
+    y0f = jnp.floor(jax.lax.stop_gradient(y))
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    wx1, wy1 = x - x0f, y - y0f
+    ok = (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
+    px = jnp.clip(x0 + 1, 0, W)
+    py = jnp.clip(y0 + 1, 0, H)
+    sx, ox = px // 2, px % 2
+    sy, oy = py // 2, py % 2
+    return sy * Sw + sx, (ox, oy), (wx1, wy1), ok
+
+
+def _sc_contract2(rows: jnp.ndarray, ux, uy, C: int) -> jnp.ndarray:
+    dt = ux.dtype
+    g = np.arange(9)
+    EY = jnp.asarray((np.arange(3)[:, None] == (g // 3)[None]), dt)
+    EX = jnp.asarray((np.arange(3)[:, None] == (g % 3)[None]), dt)
+    R = jnp.asarray(np.repeat(np.eye(9), C, axis=1), dt)
+    S = jnp.asarray(np.tile(np.eye(C), (9, 1)), dt)
+    hi = jax.lax.Precision.HIGHEST
+    w9 = jnp.dot(uy, EY, precision=hi) * jnp.dot(ux, EX, precision=hi)
+    return jnp.dot(rows.astype(dt) * jnp.dot(w9, R, precision=hi), S,
+                   precision=hi)
+
+
+def supercell2d_grad(table: jnp.ndarray, dims: Tuple[int, int],
+                     xy: jnp.ndarray) -> jnp.ndarray:
+    """Spatial gradient of the bilinear interpolant from the packed 2D table,
+    ``(N, C, 2)`` in pixel-coordinate units (bilerp takes pixel coords)."""
+    C = table.shape[-1] // 9
+    idx, (ox, oy), (wx1, wy1), ok = _sc_prepare2(dims, xy)
+    rows = jnp.take(table, idx, axis=0)
+    dt = wx1.dtype
+    okf = ok.astype(dt)
+    ux, uy = _axis_u(ox, wx1, dt), _axis_u(oy, wy1, dt)
+    dux, duy = _axis_du(ox, dt), _axis_du(oy, dt)
+    gx = _sc_contract2(rows, dux, uy, C)
+    gy = _sc_contract2(rows, ux, duy, C)
+    return jnp.stack([gx, gy], axis=-1) * okf[:, None, None]
+
+
+def supercell2d_hess(table: jnp.ndarray, dims: Tuple[int, int],
+                     xy: jnp.ndarray) -> jnp.ndarray:
+    """Spatial Hessian ``(N, C, 2, 2)``: only the mixed xy term is nonzero."""
+    C = table.shape[-1] // 9
+    idx, (ox, oy), (wx1, wy1), ok = _sc_prepare2(dims, xy)
+    rows = jnp.take(table, idx, axis=0)
+    dt = wx1.dtype
+    okf = ok.astype(dt)
+    dux, duy = _axis_du(ox, dt), _axis_du(oy, dt)
+    hxy = _sc_contract2(rows, dux, duy, C) * okf[:, None]
+    zero = jnp.zeros_like(hxy)
+    return jnp.stack([jnp.stack([zero, hxy], axis=-1),
+                      jnp.stack([hxy, zero], axis=-1)], axis=-2)
+
+
+def _corner_vals2(image: jnp.ndarray, xy: jnp.ndarray):
+    H, W, C = image.shape
+    x, y = xy[..., 0], xy[..., 1]
+    x0f = jnp.floor(jax.lax.stop_gradient(x))
+    y0f = jnp.floor(jax.lax.stop_gradient(y))
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    flat = image.reshape(H * W, C)
+    vals = {}
+    for dx in (0, 1):
+        for dy in (0, 1):
+            ix, iy = x0 + dx, y0 + dy
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            ixc = jnp.clip(ix, 0, W - 1)
+            iyc = jnp.clip(iy, 0, H - 1)
+            v = jnp.take(flat, iyc * W + ixc, axis=0)
+            vals[(dx, dy)] = v * valid.astype(image.dtype)[:, None]
+    return vals, (x - x0f, y - y0f)
+
+
+def bilerp_spatial_grad(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Raw-gather spatial gradient of bilerp, ``(N, C, 2)``; linear in
+    ``image``."""
+    vals, (wx1, wy1) = _corner_vals2(image, xy)
+    gx = 0.0
+    gy = 0.0
+    for (dx, dy), v in vals.items():
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        wy = wy1 if dy else (1.0 - wy1)
+        wx = wx1 if dx else (1.0 - wx1)
+        gx = gx + v * (sx * wy)[:, None]
+        gy = gy + v * (sy * wx)[:, None]
+    return jnp.stack([gx, gy], axis=-1)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _pd2_grad(dims, image, table, xy):
+    return supercell2d_grad(table, dims, xy)
+
+
+def _pd2_grad_jvp(dims, primals, tangents):
+    image, table, xy = primals
+    dimg, _dtable, dxy = tangents
+    out = supercell2d_grad(table, dims, xy)
+    tan = None
+    if _nonzero_tan(dimg):
+        tan = bilerp_spatial_grad(dimg, xy)
+    if _nonzero_tan(dxy):
+        h = supercell2d_hess(table, dims, xy)
+        t = jnp.einsum("ncij,nj->nci", h, dxy)
+        tan = t if tan is None else tan + t
+    return out, tan if tan is not None else jnp.zeros_like(out)
+
+
+_pd2_grad.defjvp(_pd2_grad_jvp, symbolic_zeros=True)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _pd2_value(dims, image, table, xy):
+    return bilerp_supercell(table, dims, xy)
+
+
+def _pd2_value_jvp(dims, primals, tangents):
+    image, table, xy = primals
+    dimg, _dtable, dxy = tangents
+    out = bilerp_supercell(table, dims, xy)
+    tan = None
+    if _nonzero_tan(dimg):
+        tan = bilerp(dimg, xy)
+    if _nonzero_tan(dxy):
+        g = _pd2_grad(dims, image, table, xy)
+        t = jnp.einsum("ncd,nd->nc", g, dxy)
+        tan = t if tan is None else tan + t
+    return out, tan if tan is not None else jnp.zeros_like(out)
+
+
+_pd2_value.defjvp(_pd2_value_jvp, symbolic_zeros=True)
+
+
+def bilerp_packed_diff(image: jnp.ndarray, table: jnp.ndarray,
+                       dims: Tuple[int, int], xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilerp whose forward reads the packed 2D table but whose
+    image-cotangent scatters directly into the raw image layout (2D analog
+    of :func:`trilerp_packed_diff`). ``xy`` in pixel coordinates."""
+    return _pd2_value(dims, image, jax.lax.stop_gradient(table), xy)
+
+
 def pack_cascade(volumes: Sequence[jnp.ndarray]):
     """Flatten a same-channel volume cascade into one (ΣN_i, C) buffer +
     static (shapes, offsets) metadata for ``lookup_volume_cascade_packed``."""

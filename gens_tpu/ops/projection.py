@@ -77,7 +77,8 @@ def compute_ray_diff(pts: jnp.ndarray, ref_c2w: jnp.ndarray,
 
 def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
                    c2ws: jnp.ndarray, features: Sequence[jnp.ndarray],
-                   packed_features=None, packed_imgs=None):
+                   packed_features=None, packed_imgs=None,
+                   diff: bool = False):
     """Warp source-view multi-scale features + RGB onto sample points.
 
     Equivalent of reference projector.py:294-349: project ``pts`` into every
@@ -93,10 +94,15 @@ def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
     (view, scale) instead of 4 narrow corner gathers — numerically
     identical, much friendlier to the TPU's addressing-bound gathers.
 
+    ``diff=True`` (training): the packed sampling goes through
+    :func:`~gens_tpu.ops.interp.bilerp_packed_diff`, so the forward still
+    reads the wide tables but feature/image gradients scatter into the raw
+    maps (the pack conv appears in no backward).
+
     Returns ``rgb_feat (N, S, 3 + sum C_i)``, ``ray_diff (N, S, 4)``,
     ``mask (N, S)`` with S = V - 1 source views.
     """
-    from gens_tpu.ops.interp import bilerp_supercell
+    from gens_tpu.ops.interp import bilerp_packed_diff, bilerp_supercell
 
     src_intrs = intrs[1:]
     src_c2ws = c2ws[1:]
@@ -112,7 +118,9 @@ def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
 
         def sample_one(feat_v, intr_v, c2w_v, table_v=None, _pk=pk):
             xy, mask = project_points(pts, intr_v, c2w_v, hw)
-            if table_v is not None:
+            if table_v is not None and diff:
+                vals = bilerp_packed_diff(feat_v, table_v, _pk.dims, xy)
+            elif table_v is not None:
                 vals = bilerp_supercell(table_v, _pk.dims, xy)
             else:
                 vals = bilerp(feat_v, xy)
@@ -129,6 +137,9 @@ def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
         if i == 0:
             def sample_rgb(img_v, intr_v, c2w_v, table_v=None):
                 xy, _ = project_points(pts, intr_v, c2w_v, hw)
+                if table_v is not None and diff:
+                    return bilerp_packed_diff(img_v, table_v,
+                                              packed_imgs.dims, xy)
                 if table_v is not None:
                     return bilerp_supercell(table_v, packed_imgs.dims, xy)
                 return bilerp(img_v, xy)

@@ -42,8 +42,14 @@ from gens_tpu.train.step import TrainState, make_optimizer
 
 
 def make_mesh(n_data: int, n_view: int, devices=None) -> Mesh:
+    """('data', 'view') mesh. With no explicit device list this spans the
+    GLOBAL device set (all hosts after ``distributed.initialize``), laid out
+    so one scene's view axis stays intra-host — see
+    :func:`gens_tpu.parallel.distributed.make_global_mesh`."""
     if devices is None:
-        devices = jax.devices()
+        from gens_tpu.parallel.distributed import make_global_mesh
+
+        return make_global_mesh(n_data, n_view)
     assert len(devices) >= n_data * n_view, (
         f"need {n_data * n_view} devices, have {len(devices)}")
     dev = np.array(devices[: n_data * n_view]).reshape(n_data, n_view)
@@ -59,15 +65,17 @@ def pad_views(inputs: Dict, n_view_shards: int) -> Tuple[Dict, int]:
     out = dict(inputs)
     if V_pad != V:
         pad = V_pad - V
-        out["imgs"] = jnp.concatenate(
-            [imgs, jnp.zeros((B, pad) + imgs.shape[2:], imgs.dtype)], axis=1)
+        # host-side numpy (multi-host assembly needs process-local numpy,
+        # not committed device arrays)
+        out["imgs"] = np.concatenate(
+            [imgs, np.zeros((B, pad) + imgs.shape[2:], imgs.dtype)], axis=1)
         # pad cameras with identity-ish entries (never used: view_valid = 0)
-        eye3 = jnp.broadcast_to(jnp.eye(3), (B, pad, 3, 3))
-        eye4 = jnp.broadcast_to(jnp.eye(4), (B, pad, 4, 4))
-        out["intrs"] = jnp.concatenate([inputs["intrs"], eye3], axis=1)
-        out["c2ws"] = jnp.concatenate([inputs["c2ws"], eye4], axis=1)
-    valid = (jnp.arange(V_pad) < V).astype(jnp.float32)
-    out["view_valid"] = jnp.broadcast_to(valid, (B, V_pad))
+        eye3 = np.broadcast_to(np.eye(3, dtype=np.float32), (B, pad, 3, 3))
+        eye4 = np.broadcast_to(np.eye(4, dtype=np.float32), (B, pad, 4, 4))
+        out["intrs"] = np.concatenate([inputs["intrs"], eye3], axis=1)
+        out["c2ws"] = np.concatenate([inputs["c2ws"], eye4], axis=1)
+    valid = (np.arange(V_pad) < V).astype(np.float32)
+    out["view_valid"] = np.broadcast_to(valid, (B, V_pad)).copy()
     return out, V
 
 
@@ -86,7 +94,7 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
     def make_device_fn(use_match_features: bool):
       def device_fn(params, opt_state, step, imgs, intrs, c2ws, view_valid,
                     rays_o, rays_d, near, far, color, pseudo_pts,
-                    pseudo_depth, key, cos_anneal_ratio):
+                    pseudo_depth, pseudo_valid, key, cos_anneal_ratio):
           # local shards arrive with a leading data-block dim of 1 — drop it
           imgs, intrs, c2ws = imgs[0], intrs[0], c2ws[0]
           view_valid = view_valid[0]
@@ -94,6 +102,7 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
           near, far = near[0], far[0]
           pseudo_pts = pseudo_pts[0]
           pseudo_depth = pseudo_depth[0]
+          pseudo_valid = pseudo_valid[0]
 
           d_idx = jax.lax.axis_index("data")
           v_idx = jax.lax.axis_index("view")
@@ -131,8 +140,12 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
                   cos_anneal_ratio=cos_anneal_ratio,
                   use_match_features=use_match_features, key=key, train=True)
               if use_pseudo:
+                  # scenes without pseudo supervision carry zero-filled
+                  # points and pseudo_valid = 0 (fixed batch schema —
+                  # heterogeneous key sets must not change the step
+                  # signature mid-epoch); the flag zeroes their loss term
                   outputs["pseudo_sdf"] = model.renderer.pseudo_sdf(
-                      params, scene, pseudo_pts)
+                      params, scene, pseudo_pts) * pseudo_valid
 
               targets = {"color": color}
               if use_pseudo:
@@ -168,6 +181,7 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
         dv_sharded,               # color
         dv_sharded,               # pseudo_pts
         dv_sharded,               # pseudo_depth
+        data_sharded,             # pseudo_valid
         P(), P(),                 # key, anneal (replicated)
     )
     out_specs = (P(), P(), P(), P())
@@ -195,6 +209,8 @@ def make_sharded_train_step(model: GenSModel, cfg: Config, mesh: Mesh,
                                   mesh.shape["view"], 3))),
             inputs.get("pseudo_depth",
                        jnp.zeros(inputs["color"].shape[:2])),
+            inputs.get("pseudo_valid",
+                       jnp.ones((inputs["color"].shape[0],))),
             key, cos_anneal_ratio)
         return TrainState(params, opt_state, step), metrics
 

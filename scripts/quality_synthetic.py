@@ -1,0 +1,329 @@
+"""Quality-evidence run (VERDICT r1 item #1): train the framework to
+convergence on the synthetic fixture and record committed artifacts.
+
+Two phases, mirroring the reference's train -> val protocol
+(/root/reference/runner.py:117-282) on the analytic stand-in for DTU:
+
+  A. single-scene overfit to convergence: loss/PSNR/Eikonal trajectory +
+     mask-cleaned mesh geometric error vs the analytic sphere (the synthetic
+     Chamfer: accuracy = mean |  ||v|| - R | over cleaned mesh vertices,
+     completeness = camera-visible GT surface samples -> nearest mesh
+     vertex, averaged — evaluation/dtu_eval.py:126-142's d2s/s2d).
+  B. multi-scene generalization: train on N varied scenes (radius, camera
+     ring, light, albedo texture), validate on a HELD-OUT scene — full-image
+     PSNR + the same mesh metrics from a one-shot (no finetune) scene build.
+
+Writes QUALITY_r02.json + curve data. Run on the TPU (ambient env):
+    python scripts/quality_synthetic.py [--phase all] [--steps-a N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def scene_params(i: int):
+    """Deterministic per-scene variation: radius, camera ring offset, light,
+    albedo texture, tints. Scene -1 is the HELD-OUT validation scene (inside
+    the training distribution's support, never trained on)."""
+    if i == -1:
+        return dict(radius=0.45, ang0=0.9, light_dir=(0.1, 0.5, -0.85),
+                    albedo_freq=7.0, albedo_phase=(0.8, 1.9),
+                    tints=(0.9, 0.7, 0.95))
+    rng = np.random.RandomState(1000 + i)
+    return dict(
+        radius=float(0.35 + 0.27 * rng.uniform()),
+        ang0=float(rng.uniform(0, 2 * np.pi)),
+        light_dir=tuple(
+            np.array([rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5),
+                      -0.85])),
+        albedo_freq=float(rng.uniform(4.0, 10.0)),
+        albedo_phase=(float(rng.uniform(0, 6)), float(rng.uniform(0, 6))),
+        tints=tuple(rng.uniform(0.5, 1.0, 3)),
+    )
+
+
+def build_config(packed: bool = True):
+    from gens_tpu.config import Config
+
+    cfg = Config()
+    m = cfg.model
+    m.volume.volume_dims = (64, 32, 16, 8, 4)
+    m.render.n_samples = 32
+    m.render.n_importance = 32
+    m.render.n_sparse_pts = 512
+    m.sdf_network.packed_trilerp = packed
+    m.color_network.packed_bilerp = packed
+    return cfg
+
+
+def mesh_metrics(verts, tris, radius, raw, label):
+    """Mask-cleaned mesh accuracy + visible-surface completeness."""
+    from scipy.spatial import cKDTree
+
+    from gens_tpu.mesh.clean import clean_mesh
+
+    out = {}
+    if not len(verts):
+        return {f"{label}_acc_mean": float("nan")}
+    cverts, ctris = clean_mesh(
+        np.asarray(verts), np.asarray(tris), np.asarray(raw["masks"]),
+        np.asarray(raw["intrs"]), np.asarray(raw["c2ws"]))
+    out[f"{label}_verts_raw"] = int(len(verts))
+    out[f"{label}_verts_clean"] = int(len(cverts))
+    if not len(cverts):
+        return out
+    # accuracy (d2s): cleaned mesh vertex -> analytic sphere surface
+    d2s = np.abs(np.linalg.norm(cverts, axis=-1) - radius)
+    out[f"{label}_acc_mean"] = float(d2s.mean())
+    out[f"{label}_acc_p90"] = float(np.percentile(d2s, 90))
+
+    # completeness (s2d): camera-visible GT surface samples -> mesh
+    rng = np.random.RandomState(0)
+    dirs = rng.randn(20000, 3)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = dirs * radius
+    vis = np.zeros(len(pts), bool)
+    for v in range(raw["c2ws"].shape[0]):
+        c2w = np.asarray(raw["c2ws"][v])
+        cam = c2w[:3, 3]
+        facing = np.sum(dirs * (cam[None] - pts), axis=-1) > 0
+        w2c = np.linalg.inv(c2w)
+        p_cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        uvw = p_cam @ np.asarray(raw["intrs"][v]).T
+        xy = uvw[:, :2] / np.maximum(uvw[:, 2:], 1e-8)
+        H, W = raw["masks"].shape[1:3]
+        infr = ((uvw[:, 2] > 0) & (xy[:, 0] >= 0) & (xy[:, 0] < W)
+                & (xy[:, 1] >= 0) & (xy[:, 1] < H))
+        vis |= facing & infr
+    gt = pts[vis]
+    tree = cKDTree(cverts)
+    s2d, _ = tree.query(gt, k=1)
+    out[f"{label}_comp_mean"] = float(np.mean(s2d))
+    out[f"{label}_comp_p90"] = float(np.percentile(s2d, 90))
+    out[f"{label}_overall"] = 0.5 * (out[f"{label}_acc_mean"]
+                                     + out[f"{label}_comp_mean"])
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--phase", default="all", choices=["a", "b", "all"])
+    p.add_argument("--steps-a", type=int, default=1500)
+    p.add_argument("--steps-b", type=int, default=4000)
+    p.add_argument("--n-train-scenes", type=int, default=6)
+    p.add_argument("--hw", type=int, default=128)
+    p.add_argument("--rays", type=int, default=512)
+    p.add_argument("--mesh-res", type=int, default=192)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="QUALITY_r02.json")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    from gens_tpu.data.synthetic import make_scene
+    from gens_tpu.mesh.extract import extract_geometry
+    from gens_tpu.models.gens import GenSModel
+    from gens_tpu.models.renderer import Scene
+    from gens_tpu.train.checkpoint import save_checkpoint
+    from gens_tpu.train.step import init_train_state, make_train_step
+
+    hw = (args.hw, args.hw)
+    results = {"config": {"hw": args.hw, "rays": args.rays,
+                          "mesh_res": args.mesh_res,
+                          "volume_dims": [64, 32, 16, 8, 4],
+                          "packed": True}}
+
+    def pregen_batches(scene_kw, n_batches, with_pseudo, seed0):
+        """Pre-generate ray batches (images are identical per scene; only the
+        ray sampling varies) so the train loop never blocks on host-side
+        scene synthesis."""
+        base = make_scene(n_views=3, hw=hw, n_rays=args.rays, seed=seed0,
+                          **scene_kw)
+        radius = base["radius"]
+        batches = []
+        for b in range(n_batches):
+            raw = make_scene(n_views=3, hw=hw, n_rays=args.rays,
+                             seed=seed0 + 7919 * b, **scene_kw)
+            inp = {k: jnp.asarray(v) for k, v in raw.items()
+                   if k not in ("radius", "view_masks")}
+            if with_pseudo:
+                ro, rd = raw["rays_o"], raw["rays_d"]
+                bq = np.sum(rd * ro, axis=-1)
+                cq = np.sum(ro ** 2, axis=-1) - radius ** 2
+                disc = bq ** 2 - cq
+                t = -bq - np.sqrt(np.maximum(disc, 0.0))
+                hit = (disc > 0) & (t > 0)
+                cam_z = (rd @ np.linalg.inv(
+                    raw["c2ws"][0][:3, :3]).T)[:, 2]
+                inp["pseudo_depth"] = jnp.asarray(
+                    np.where(hit, t * cam_z, 0.0).astype(np.float32))
+                prng = np.random.RandomState(seed0 + b)
+                dirs = prng.randn(512, 3).astype(np.float32)
+                dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+                inp["pseudo_pts"] = jnp.asarray(dirs * radius)
+            batches.append(inp)
+        return batches, radius
+
+    def run_training(model, cfg, batches, n_steps, tag):
+        state, _ = init_train_state(model, cfg, jax.random.PRNGKey(0),
+                                    steps_per_epoch=1)
+        _, step_fn = make_train_step(model, cfg, steps_per_epoch=1)
+        curve = []
+        t0 = time.time()
+        t_compile = None
+        for step in range(n_steps):
+            inputs = batches[step % len(batches)]
+            anneal = min(1.0, step / max(cfg.train.anneal_end, 1))
+            state, metrics = step_fn(state, inputs, jax.random.PRNGKey(step),
+                                     anneal, use_match_features=False)
+            if step == 0:
+                jax.block_until_ready(metrics["loss"])
+                t_compile = time.time() - t0
+                t0 = time.time()
+            if step % 25 == 0 or step == n_steps - 1:
+                scal = {k: float(metrics[k]) for k in
+                        ("loss", "psnr", "eikonal_loss", "color_loss",
+                         "mfc_loss", "sparse_loss")}
+                scal["step"] = step
+                curve.append(scal)
+                print(f"[{tag}] step {step}: loss {scal['loss']:.4f} "
+                      f"psnr {scal['psnr']:.2f} eik "
+                      f"{scal['eikonal_loss']:.4f} "
+                      f"[{time.time() - t0:.0f}s]", flush=True)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.time() - t0
+        ms_per_step = dt / max(n_steps - 1, 1) * 1e3
+        print(f"[{tag}] {n_steps} steps, compile {t_compile:.0f}s, "
+              f"{ms_per_step:.0f} ms/step", flush=True)
+        return state, curve, ms_per_step, t_compile
+
+    def eval_scene(model, params, scene_kw, tag, radius):
+        """Held-out/eval protocol: one-shot scene build, full-image render,
+        mesh extraction + mask cleaning + geometric error."""
+        raw_train = make_scene(n_views=3, hw=hw, n_rays=16, seed=123,
+                               **scene_kw)
+        inputs = {k: jnp.asarray(v) for k, v in raw_train.items()
+                  if k not in ("radius", "view_masks")}
+        build = jax.jit(lambda p, i: model.build_scene(
+            p, i["imgs"], i["intrs"], i["c2ws"]))
+        scene = build(params, inputs)
+
+        # full-image render at stride 2
+        stride = 2
+        H, W = hw
+        ys, xs = np.meshgrid(np.arange(0, H, stride),
+                             np.arange(0, W, stride), indexing="ij")
+        pix = np.stack([xs.ravel(), ys.ravel(),
+                        np.ones(xs.size)], -1).astype(np.float32)
+        intr = raw_train["intrs"][0]
+        c2w = raw_train["c2ws"][0]
+        d = pix @ np.linalg.inv(intr).T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays_d = (d @ c2w[:3, :3].T).astype(np.float32)
+        rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape).astype(np.float32)
+        gt = raw_train["imgs"][0][ys.ravel(), xs.ravel()]
+
+        chunk = 1024
+        npad = (-len(rays_o)) % chunk
+        ro = np.concatenate([rays_o, rays_o[-1:].repeat(npad, 0)])
+        rd = np.concatenate([rays_d, rays_d[-1:].repeat(npad, 0)])
+        render = jax.jit(lambda p, s, a, b: model.renderer.render(
+            p, a, b, inputs["near"], inputs["far"], s,
+            cos_anneal_ratio=1.0, use_match_features=False, key=None,
+            train=False))
+        cols = []
+        for i in range(0, len(ro), chunk):
+            out = render(params, scene, jnp.asarray(ro[i:i + chunk]),
+                         jnp.asarray(rd[i:i + chunk]))
+            cols.append(np.asarray(out["color_fine"]))
+        color = np.concatenate(cols)[:len(rays_o)]
+        mse = float(((color - gt) ** 2).mean())
+        psnr = 20.0 * np.log10(1.0 / np.sqrt(mse + 1e-12))
+
+        sdf_fn = model.renderer.sdf_fn_for_extraction(params, scene.volumes)
+        verts, tris = extract_geometry(sdf_fn, [-1] * 3, [1] * 3,
+                                       resolution=args.mesh_res, block=64)
+        # masks for cleaning come from the analytic hit masks
+        raw_eval = {"masks": raw_train["view_masks"],
+                    "intrs": raw_train["intrs"], "c2ws": raw_train["c2ws"]}
+        m = mesh_metrics(verts, tris, radius, raw_eval, tag)
+        m[f"{tag}_psnr"] = float(psnr)
+        return m
+
+    model = None
+    if args.phase in ("a", "all"):
+        cfg = build_config()
+        cfg.train.anneal_end = args.steps_a // 4
+        model = GenSModel(cfg.model)
+        kw = {k: v for k, v in scene_params(0).items()}
+        batches, radius = pregen_batches(kw, 64, with_pseudo=False, seed0=0)
+        state, curve, msps, tc = run_training(model, cfg, batches,
+                                              args.steps_a, "overfit")
+        results["overfit_curve"] = curve
+        results["overfit_ms_per_step"] = msps
+        results["overfit_compile_s"] = tc
+        results["overfit_psnr_first"] = curve[0]["psnr"]
+        results["overfit_psnr_last"] = curve[-1]["psnr"]
+        results.update(eval_scene(model, state.params, kw, "overfit",
+                                  radius))
+        save_checkpoint("runs/quality_overfit.ckpt",
+                        {"epoch": 0, "step": args.steps_a,
+                         "params": state.params})
+        print(json.dumps({k: v for k, v in results.items()
+                          if not k.endswith("curve")}, indent=1), flush=True)
+
+    if args.phase in ("b", "all"):
+        cfg = build_config()
+        cfg.train.anneal_end = args.steps_b // 8
+        cfg.train.loss.pseudo_sdf_weight = 1.0
+        cfg.train.loss.pseudo_depth_weight = 0.05
+        model = GenSModel(cfg.model)
+        all_batches = []
+        for i in range(args.n_train_scenes):
+            kw = scene_params(i)
+            per_scene = max(args.steps_b // args.n_train_scenes // 4, 8)
+            b, _ = pregen_batches(kw, per_scene, with_pseudo=True,
+                                  seed0=10000 * (i + 1))
+            all_batches.append(b)
+        # interleave scenes round-robin
+        batches = []
+        for j in range(max(len(b) for b in all_batches)):
+            for b in all_batches:
+                batches.append(b[j % len(b)])
+        state, curve, msps, tc = run_training(model, cfg, batches,
+                                              args.steps_b, "gen")
+        results["gen_curve"] = curve
+        results["gen_ms_per_step"] = msps
+        results["gen_compile_s"] = tc
+        kw_held = scene_params(-1)
+        results.update(eval_scene(model, state.params, kw_held, "heldout",
+                                  kw_held["radius"]))
+        # also score one TRAINED scene for the train/val gap
+        kw0 = scene_params(0)
+        results.update(eval_scene(model, state.params, kw0, "trained",
+                                  kw0["radius"]))
+        save_checkpoint("runs/quality_gen.ckpt",
+                        {"epoch": 0, "step": args.steps_b,
+                         "params": state.params})
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", args.out, flush=True)
+    summary = {k: v for k, v in results.items() if not k.endswith("curve")}
+    print(json.dumps(summary, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
