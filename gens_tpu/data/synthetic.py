@@ -82,7 +82,7 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
                cam_dist: float = 2.0, n_rays: int = 64, seed: int = 0,
                ang0: float = 0.0, light_dir=(0.4, 0.3, -0.85),
                albedo_freq: float = 6.0, albedo_phase=(0.0, 0.0),
-               tints=(1.0, 0.8, 0.6)):
+               tints=(1.0, 0.8, 0.6), spread: float = 0.25):
     """Build a full training-style input dict for a synthetic sphere scene.
 
     The optional appearance/geometry knobs (radius, camera ring offset
@@ -99,7 +99,9 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
 
     c2ws, imgs, masks = [], [], []
     for i in range(n_views):
-        ang = ang0 + 2 * np.pi * i / max(n_views, 1) * 0.25  # cluster views
+        # camera ring: ``spread`` fraction of the full circle across views
+        # (0.25 clusters them like the original fixture)
+        ang = ang0 + 2 * np.pi * i / max(n_views, 1) * spread
         eye = cam_dist * np.array(
             [np.cos(ang), np.sin(ang), 0.35], np.float32)
         c2w = look_at(eye, np.zeros(3, np.float32))

@@ -130,29 +130,36 @@ def clean_mesh_by_mask(verts: np.ndarray, tris: np.ndarray,
 
 
 def face_components(tris: np.ndarray) -> np.ndarray:
-    """Connected components over faces sharing an edge (union-find;
-    replaces trimesh.graph.connected_components)."""
+    """Connected components over faces sharing an edge (replaces
+    trimesh.graph.connected_components).
+
+    Vectorized via scipy sparse CSGraph: faces sharing an edge are linked
+    through a face<->sorted-edge bipartite incidence matrix, and
+    ``connected_components(E @ E.T)``-style closure comes free from running
+    CC on the bipartite graph itself. A 512-res marching-tetrahedra mesh has
+    millions of faces — the previous pure-Python union-find took
+    minutes-to-hours there; this is seconds."""
+    from scipy import sparse
+    from scipy.sparse.csgraph import connected_components
+
     n = len(tris)
-    parent = np.arange(n)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    edge_map = {}
-    for f in range(n):
-        t = tris[f]
-        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            key = (min(e), max(e))
-            if key in edge_map:
-                ra, rb = find(edge_map[key]), find(f)
-                if ra != rb:
-                    parent[ra] = rb
-            else:
-                edge_map[key] = f
-    return np.array([find(f) for f in range(n)])
+    if n == 0:
+        return np.zeros(0, np.int64)
+    # 3 undirected edges per face, canonicalized
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    # dense edge ids via unique rows
+    _, edge_id = np.unique(e[:, 0].astype(np.int64) * (tris.max() + 1)
+                           + e[:, 1], return_inverse=True)
+    face_id = np.tile(np.arange(n, dtype=np.int64), 3)
+    n_edges = int(edge_id.max()) + 1
+    # bipartite graph: nodes [faces | edges]; CC on it equals CC on the
+    # face-adjacency graph
+    data = np.ones(len(face_id), np.int8)
+    adj = sparse.coo_matrix(
+        (data, (face_id, edge_id + n)), shape=(n + n_edges, n + n_edges))
+    _, labels = connected_components(adj, directed=False)
+    return labels[:n]
 
 
 def clean_mesh_outside_frustum(verts: np.ndarray, tris: np.ndarray,

@@ -427,6 +427,9 @@ class Renderer:
             "inside_sphere": inside_sphere,
             "grad_sq_err": grad_sq_err,
             "relax_inside_sphere": relax_inside,
+            # TRAIN-ONLY: with train=False the Hessian·1 pass is skipped and
+            # this is zeros, not a measurement — only the training loss may
+            # consume it (ADVICE r1)
             "smooth_sur": smooth_sur,
             "sparse_sdf": sparse_sdf,
             "tv_reg": tv_reg,

@@ -44,6 +44,18 @@ _FT_DATASETS = {
 
 def get_dataset(cfg, mode: str, rng=None):
     name = cfg.dataset_name.lower().replace("dataset", "")
+    if name == "synthetic":
+        # analytic fixture: lets every Runner mode run end-to-end with no
+        # data on disk (tests, smoke training, CI)
+        from gens_tpu.data.synthetic import SyntheticDataset
+
+        n_scenes = len(cfg.scene) if cfg.scene else 4
+        return SyntheticDataset(
+            n_scenes=n_scenes, n_views=cfg.num_src_view + 1,
+            hw=cfg.img_hw, n_rays=cfg.n_rays,
+            val_res_level=cfg.val_res_level,
+            n_pseudo_pts=min(cfg.n_pseudo_pts, 256),
+            mode=mode if mode != "val" else "val")
     if mode == "finetune":
         if name in ("dtu", "dtufinetune"):
             return DTUFinetuneDataset(cfg, rng=rng)
@@ -110,6 +122,30 @@ class Runner:
             raise ValueError(f"unknown mode {self.mode}")
 
     # ------------------------------------------------------------------
+    def _flush_metrics(self, pending, avg, state, epoch):
+        """Convert queued device metrics to floats (ONE sync point instead of
+        one per step — the tunneled chip pays seconds per forced sync) and
+        run failure detection: a non-finite loss saves an emergency
+        checkpoint and aborts instead of silently training on NaNs."""
+        for m in pending:
+            scalars = tensor2float(m)
+            if not np.isfinite(scalars.get("loss", 0.0)):
+                from gens_tpu.parallel.distributed import is_main_process
+
+                if is_main_process():
+                    save_checkpoint(
+                        os.path.join(self.exp_dir, "checkpoints",
+                                     "emergency.ckpt"),
+                        {"epoch": epoch, "step": int(state.step),
+                         "params": state.params,
+                         "opt_state": state.opt_state})
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch}: {scalars} — "
+                    "emergency checkpoint saved")
+            avg.update(scalars)
+        pending.clear()
+        return avg
+
     def train(self, resume: Optional[str] = None):
         cfg = self.cfg
         dataset = get_dataset(cfg.train_dataset, "train", self.rng)
@@ -117,6 +153,11 @@ class Runner:
         state, _ = init_train_state(self.model, cfg, self._next_key(),
                                     steps_per_epoch)
         start_epoch = 0
+        if resume == "auto":
+            # crash/preemption recovery: continue from the newest checkpoint
+            # in the experiment dir, or start fresh when none exists
+            resume = latest_checkpoint(
+                os.path.join(self.exp_dir, "checkpoints"))
         if resume:
             ckpt = load_checkpoint(resume)
             state = TrainState(ckpt["params"], ckpt["opt_state"],
@@ -138,19 +179,29 @@ class Runner:
             avg = DictAverageMeter()
             order = self.rng.permutation(steps_per_epoch)
             t0 = time.time()
-            for batch, idx in enumerate(order):
-                inputs = to_device(dataset[int(idx)])
+            # decode scene i+1 on a worker thread while step i runs (the
+            # reference's 8-worker DataLoader equivalent)
+            from gens_tpu.utils.prefetch import prefetch_map
+
+            batches = prefetch_map(
+                lambda idx: to_device(dataset[int(idx)]), list(order))
+            pending = []
+            log_every = max(1, int(cfg.train.log_freq * steps_per_epoch))
+            for batch, inputs in enumerate(batches):
                 frac = epoch + batch / steps_per_epoch
                 anneal = cos_anneal_ratio(frac, cfg.train.anneal_end)
                 state, metrics = step_fn(
                     state, inputs, self._next_key(), anneal,
                     use_match_features=frac >= 5)
-                scalars = tensor2float(metrics)
-                avg.update(scalars)
-                if batch % max(1, int(cfg.train.log_freq * steps_per_epoch)) == 0:
+                # keep metrics as device futures; sync only at log points
+                pending.append(metrics)
+                if batch % log_every == 0:
+                    self._flush_metrics(pending, avg, state, epoch)
+                    scalars = dict(avg.avg_data)
                     scalars["sec_per_step"] = (time.time() - t0) / (batch + 1)
                     self.logger.log("train", scalars,
                                     epoch * steps_per_epoch + batch)
+            self._flush_metrics(pending, avg, state, epoch)
             self.logger.log("train_avg", avg.avg_data, epoch)
 
             if ((epoch + 1) % cfg.train.save_freq == 0
@@ -251,7 +302,8 @@ class Runner:
                 [self.rng.permutation(len(dataset))
                  for _ in range(reps)])[:need]
             t0 = time.time()
-            for batch in range(steps_per_epoch):
+
+            def load_batch(batch):
                 idxs = order[batch * n_data:(batch + 1) * n_data][rows]
                 items = [
                     self._materialize_schema(dataset[int(i)], use_pseudo,
@@ -262,13 +314,23 @@ class Runner:
                     k: np.stack([np.asarray(it[k]) for it in items])
                     for k in keys
                 }
-                stacked, n_views = pad_views(stacked, n_view)
-                stacked = assemble(stacked)
+                stacked, _ = pad_views(stacked, n_view)
+                return assemble(stacked)
+
+            from gens_tpu.utils.prefetch import prefetch_map
+
+            loader = prefetch_map(load_batch, list(range(steps_per_epoch)))
+            pending = []
+            log_every = max(1, int(cfg.train.log_freq * steps_per_epoch))
+            for batch, stacked in enumerate(loader):
                 frac = epoch + batch / steps_per_epoch
                 anneal = cos_anneal_ratio(frac, cfg.train.anneal_end)
                 state, metrics = step_fn(state, stacked, self._next_key(),
                                          anneal, use_match_features=frac >= 5)
-                avg.update(tensor2float(metrics))
+                pending.append(metrics)
+                if batch % log_every == 0:
+                    self._flush_metrics(pending, avg, state, epoch)
+            self._flush_metrics(pending, avg, state, epoch)
             if main:
                 self.logger.log("train_avg", avg.avg_data, epoch)
             if main and ((epoch + 1) % cfg.train.save_freq == 0

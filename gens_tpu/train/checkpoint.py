@@ -1,5 +1,17 @@
 """Checkpointing for both regimes (reference runner.py:124-132 train ckpts,
-gens.py:45-61 finetune volume ckpts) via orbax, with a pickle fallback."""
+gens.py:45-61 finetune volume ckpts).
+
+Two interchangeable on-disk formats behind one API, each version-tagged:
+
+* **orbax** (default when importable): an OCDBT checkpoint DIRECTORY at
+  ``<path>/`` — async-capable and sharded-array-aware, which is what
+  multi-host training needs (every process participates in the save; a
+  replicated array is written once).
+* **pickle**: a single file of numpy arrays — dependency-free fallback and
+  the format round-1 checkpoints used (still loadable).
+
+``load_checkpoint`` auto-detects the format from what's on disk.
+"""
 
 from __future__ import annotations
 
@@ -10,13 +22,45 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+CKPT_FORMAT_VERSION = 2  # 1 = round-1 pickle (untagged); 2 = tagged
+
+
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp
+    except Exception:
+        return None
+
 
 def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
-    """payload: e.g. {'epoch': int, 'params': pytree, 'opt_state': pytree}."""
+def save_checkpoint(path: str, payload: Dict[str, Any],
+                    use_orbax: Optional[bool] = None) -> None:
+    """payload: e.g. {'epoch': int, 'params': pytree, 'opt_state': pytree}.
+
+    ``use_orbax=None`` picks orbax when available (required for multi-host:
+    pickle of a non-fully-addressable array would fail), else pickle.
+    """
+    payload = dict(payload)
+    payload["format_version"] = CKPT_FORMAT_VERSION
+    ocp = _orbax() if use_orbax in (None, True) else None
+    if use_orbax and ocp is None:
+        raise RuntimeError("orbax requested but not importable")
+    if ocp is not None:
+        ckpt_path = os.path.abspath(path)
+        if jax.process_index() == 0:
+            os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(ckpt_path, payload, force=True)
+        return
+    if jax.process_count() > 1:
+        raise RuntimeError(
+            "multi-host checkpointing needs orbax (pickle cannot serialize "
+            "process-spanning arrays)")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -25,8 +69,20 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Auto-detects the on-disk format: an orbax checkpoint directory or a
+    pickle file (incl. untagged round-1 checkpoints)."""
+    if os.path.isdir(path):
+        ocp = _orbax()
+        if ocp is None:
+            raise RuntimeError(f"{path} is an orbax checkpoint but orbax is "
+                               "not importable")
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.abspath(path))
+        return payload
     with open(path, "rb") as f:
-        return pickle.load(f)
+        payload = pickle.load(f)
+    payload.setdefault("format_version", 1)
+    return payload
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -49,7 +49,7 @@ def scene_params(i: int):
     )
 
 
-def build_config(packed: bool = True):
+def build_config(n_steps: int, packed: bool = True):
     from gens_tpu.config import Config
 
     cfg = Config()
@@ -60,21 +60,37 @@ def build_config(packed: bool = True):
     m.render.n_sparse_pts = 512
     m.sdf_network.packed_trilerp = packed
     m.color_network.packed_bilerp = packed
+    # LR schedule in STEP units (steps_per_epoch=1)
+    cfg.train.epochs = n_steps
+    cfg.train.warmup = max(n_steps // 20, 1)
     return cfg
 
 
 def mesh_metrics(verts, tris, radius, raw, label):
-    """Mask-cleaned mesh accuracy + visible-surface completeness."""
+    """Mask-cleaned mesh accuracy + visible-surface completeness.
+
+    Cleaning params are rescaled to the fixture's 128px images: the
+    reference's disk(11) dilation is calibrated for 1600x1200 DTU frames
+    (clean_mesh.py:113); at 128px it admits a silhouette band wider than the
+    sphere's curvature, measured to double the accuracy error."""
     from scipy.spatial import cKDTree
 
-    from gens_tpu.mesh.clean import clean_mesh
+    from gens_tpu.mesh.clean import (clean_mesh_by_mask,
+                                     clean_mesh_outside_frustum)
 
     out = {}
     if not len(verts):
         return {f"{label}_acc_mean": float("nan")}
-    cverts, ctris = clean_mesh(
-        np.asarray(verts), np.asarray(tris), np.asarray(raw["masks"]),
-        np.asarray(raw["intrs"]), np.asarray(raw["c2ws"]))
+    masks = np.asarray(raw["masks"])
+    intrs = np.asarray(raw["intrs"])
+    c2ws = np.asarray(raw["c2ws"])
+    cverts, ctris = clean_mesh_by_mask(
+        np.asarray(verts), np.asarray(tris), masks, intrs, c2ws,
+        min_nb_visible=1, dilate_radius=2)
+    if len(ctris):
+        cverts, ctris = clean_mesh_outside_frustum(
+            cverts, ctris, intrs, c2ws, masks.shape[1:3],
+            min_component=100)
     out[f"{label}_verts_raw"] = int(len(verts))
     out[f"{label}_verts_clean"] = int(len(cverts))
     if not len(cverts):
@@ -118,6 +134,12 @@ def main():
     p.add_argument("--steps-a", type=int, default=1500)
     p.add_argument("--steps-b", type=int, default=4000)
     p.add_argument("--n-train-scenes", type=int, default=6)
+    # training uses 5 views (1 ref + 4 src) like the reference recipe
+    # (confs/gens.conf); evaluation builds the held-out scene from 3 views
+    # (the DTU test protocol)
+    p.add_argument("--train-views", type=int, default=5)
+    p.add_argument("--eval-views", type=int, default=3)
+    p.add_argument("--spread", type=float, default=0.5)
     p.add_argument("--hw", type=int, default=128)
     p.add_argument("--rays", type=int, default=512)
     p.add_argument("--mesh-res", type=int, default=192)
@@ -149,13 +171,14 @@ def main():
         """Pre-generate ray batches (images are identical per scene; only the
         ray sampling varies) so the train loop never blocks on host-side
         scene synthesis."""
-        base = make_scene(n_views=3, hw=hw, n_rays=args.rays, seed=seed0,
-                          **scene_kw)
+        base = make_scene(n_views=args.train_views, hw=hw, n_rays=args.rays,
+                          seed=seed0, spread=args.spread, **scene_kw)
         radius = base["radius"]
         batches = []
         for b in range(n_batches):
-            raw = make_scene(n_views=3, hw=hw, n_rays=args.rays,
-                             seed=seed0 + 7919 * b, **scene_kw)
+            raw = make_scene(n_views=args.train_views, hw=hw,
+                             n_rays=args.rays, seed=seed0 + 7919 * b,
+                             spread=args.spread, **scene_kw)
             inp = {k: jnp.asarray(v) for k, v in raw.items()
                    if k not in ("radius", "view_masks")}
             if with_pseudo:
@@ -186,8 +209,19 @@ def main():
         for step in range(n_steps):
             inputs = batches[step % len(batches)]
             anneal = min(1.0, step / max(cfg.train.anneal_end, 1))
-            state, metrics = step_fn(state, inputs, jax.random.PRNGKey(step),
-                                     anneal, use_match_features=False)
+            try:
+                state, metrics = step_fn(state, inputs,
+                                         jax.random.PRNGKey(step),
+                                         anneal, use_match_features=False)
+            except jax.errors.JaxRuntimeError as e:
+                # the tunneled remote-compile service flakes transiently;
+                # one retry re-dispatches against the warm cache
+                print(f"[{tag}] step {step}: transient backend error, "
+                      f"retrying once: {e}", flush=True)
+                time.sleep(5.0)
+                state, metrics = step_fn(state, inputs,
+                                         jax.random.PRNGKey(step),
+                                         anneal, use_match_features=False)
             if step == 0:
                 jax.block_until_ready(metrics["loss"])
                 t_compile = time.time() - t0
@@ -212,8 +246,8 @@ def main():
     def eval_scene(model, params, scene_kw, tag, radius):
         """Held-out/eval protocol: one-shot scene build, full-image render,
         mesh extraction + mask cleaning + geometric error."""
-        raw_train = make_scene(n_views=3, hw=hw, n_rays=16, seed=123,
-                               **scene_kw)
+        raw_train = make_scene(n_views=args.eval_views, hw=hw, n_rays=16,
+                               seed=123, spread=args.spread, **scene_kw)
         inputs = {k: jnp.asarray(v) for k, v in raw_train.items()
                   if k not in ("radius", "view_masks")}
         build = jax.jit(lambda p, i: model.build_scene(
@@ -252,7 +286,9 @@ def main():
         mse = float(((color - gt) ** 2).mean())
         psnr = 20.0 * np.log10(1.0 / np.sqrt(mse + 1e-12))
 
-        sdf_fn = model.renderer.sdf_fn_for_extraction(params, scene.volumes)
+        # raw jnp SDF fn (not the Pallas fused kernel: its TPU output is not
+        # yet numerically validated against the jnp path on-device)
+        sdf_fn = model.renderer.sdf_fn(params, scene.volumes)
         verts, tris = extract_geometry(sdf_fn, [-1] * 3, [1] * 3,
                                        resolution=args.mesh_res, block=64)
         # masks for cleaning come from the analytic hit masks
@@ -262,9 +298,15 @@ def main():
         m[f"{tag}_psnr"] = float(psnr)
         return m
 
+    def flush():
+        """Incremental artifact write (a later-phase crash must not lose an
+        earlier phase's evidence)."""
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
     model = None
     if args.phase in ("a", "all"):
-        cfg = build_config()
+        cfg = build_config(args.steps_a)
         cfg.train.anneal_end = args.steps_a // 4
         model = GenSModel(cfg.model)
         kw = {k: v for k, v in scene_params(0).items()}
@@ -281,11 +323,12 @@ def main():
         save_checkpoint("runs/quality_overfit.ckpt",
                         {"epoch": 0, "step": args.steps_a,
                          "params": state.params})
+        flush()
         print(json.dumps({k: v for k, v in results.items()
                           if not k.endswith("curve")}, indent=1), flush=True)
 
     if args.phase in ("b", "all"):
-        cfg = build_config()
+        cfg = build_config(args.steps_b)
         cfg.train.anneal_end = args.steps_b // 8
         cfg.train.loss.pseudo_sdf_weight = 1.0
         cfg.train.loss.pseudo_depth_weight = 0.05
@@ -318,8 +361,7 @@ def main():
                         {"epoch": 0, "step": args.steps_b,
                          "params": state.params})
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print("wrote", args.out, flush=True)
     summary = {k: v for k, v in results.items() if not k.endswith("curve")}
     print(json.dumps(summary, indent=1), flush=True)

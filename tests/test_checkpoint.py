@@ -1,0 +1,58 @@
+"""Checkpoint round-trips: orbax directory format, pickle fallback, format
+auto-detection, version tagging (reference has two ad-hoc torch.save
+formats, runner.py:124-132 + gens.py:54-61)."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gens_tpu.train.checkpoint import (CKPT_FORMAT_VERSION, latest_checkpoint,
+                                       load_checkpoint, save_checkpoint)
+
+
+@pytest.fixture
+def payload():
+    return {"epoch": 3, "step": 7,
+            "params": {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}}
+
+
+def test_orbax_roundtrip(payload, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    p = os.path.join(tmp_path, "ckpts", "model_003.ckpt")
+    save_checkpoint(p, payload)
+    assert os.path.isdir(p)  # orbax writes a checkpoint DIRECTORY
+    back = load_checkpoint(p)
+    assert int(back["epoch"]) == 3 and int(back["step"]) == 7
+    assert int(back["format_version"]) == CKPT_FORMAT_VERSION
+    np.testing.assert_array_equal(np.asarray(back["params"]["a"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(np.asarray(back["params"]["b"]["c"]),
+                                  np.ones((2, 3)))
+
+
+def test_pickle_roundtrip_and_v1_compat(payload, tmp_path):
+    p = os.path.join(tmp_path, "ckpts", "model_000.ckpt")
+    save_checkpoint(p, payload, use_orbax=False)
+    assert os.path.isfile(p)
+    back = load_checkpoint(p)
+    assert back["format_version"] == CKPT_FORMAT_VERSION
+
+    # round-1 checkpoints carry no tag; loader must default to version 1
+    import pickle
+
+    p1 = os.path.join(tmp_path, "ckpts", "legacy.ckpt")
+    with open(p1, "wb") as f:
+        pickle.dump({"epoch": 0, "params": {}}, f)
+    assert load_checkpoint(p1)["format_version"] == 1
+
+
+def test_latest_checkpoint_orders(tmp_path):
+    d = os.path.join(tmp_path, "ckpts")
+    for i in (2, 0, 1):
+        save_checkpoint(os.path.join(d, f"model_{i:03d}.ckpt"),
+                        {"epoch": i}, use_orbax=False)
+    assert latest_checkpoint(d).endswith("model_002.ckpt")
+    assert latest_checkpoint(os.path.join(tmp_path, "nope")) is None

@@ -90,6 +90,51 @@ def test_finetune_volume_init_and_step(runner_setup):
     assert delta > 0
 
 
+def test_train_and_resume(runner_setup):
+    """Single-device Runner.train end-to-end + checkpoint resume — the exact
+    spot where the reference has its known resume-ordering bug
+    (runner.py:83 before :97, SURVEY §7.5): params and the step counter must
+    continue, not restart."""
+    import dataclasses
+
+    from gens_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+
+    cfg, runner, _ = runner_setup
+    cfg = dataclasses.replace(cfg)
+    cfg.train_dataset = dataclasses.replace(
+        cfg.train_dataset, dataset_name="synthetic", num_src_view=2,
+        img_hw=(64, 64), n_rays=24, scene=("s0", "s1"))
+    cfg.train = dataclasses.replace(cfg.train, epochs=2, save_freq=1,
+                                    val_freq=100)
+    runner = Runner(cfg, None)
+    runner.cfg = cfg
+    runner.mode = "train"
+    runner.exp_dir = cfg.base_exp_dir
+
+    runner.train()
+    assert int(runner.state.step) == 4  # 2 epochs x 2 scenes
+
+    ckpt_path = latest_checkpoint(
+        os.path.join(runner.exp_dir, "checkpoints"))
+    assert ckpt_path
+    ckpt = load_checkpoint(ckpt_path)
+    assert ckpt["epoch"] == 1 and ckpt["step"] == 4
+
+    # resume: one more epoch continues from epoch 2 / step 4
+    cfg2 = dataclasses.replace(cfg)
+    cfg2.train = dataclasses.replace(cfg.train, epochs=3)
+    runner2 = Runner(cfg2, None)
+    runner2.cfg = cfg2
+    runner2.mode = "train"
+    runner2.exp_dir = cfg.base_exp_dir
+    runner2.train(resume=ckpt_path)
+    assert int(runner2.state.step) == 6
+    # resumed params differ from the checkpoint (training continued)
+    leaf0 = jax.tree_util.tree_leaves(ckpt["params"]["sdf"])[0]
+    leaf1 = jax.tree_util.tree_leaves(runner2.state.params["sdf"])[0]
+    assert np.abs(np.asarray(leaf0) - np.asarray(leaf1)).max() > 0
+
+
 def test_train_sharded_one_epoch(runner_setup):
     """Multi-chip Runner.train path on a 2x2 virtual CPU mesh: one epoch of
     the sharded step over synthetic scenes, checkpoint written."""
