@@ -45,8 +45,19 @@ def sample_mesh_points(vertices: np.ndarray, triangles: np.ndarray,
     n2 = np.floor(l2 / thr)[:, 0].astype(np.int64)
 
     pts = [vertices]
-    # group triangles by (n1, n2) so each lattice is built once, vectorized
+    # group triangles by (n1, n2) so each lattice is built once, vectorized.
+    # On irregular meshes the number of distinct (n1, n2) pairs can explode
+    # (thousands of tiny python iterations); above a budget, round counts UP
+    # to powers of two — strictly DENSER sampling than the protocol asks,
+    # harmless because radius_downsample(0.2) immediately follows, and it
+    # caps the loop at ~log² buckets.
     keys = n1 * 100000 + n2
+    if len(np.unique(keys)) > 256:
+        n1 = np.where(n1 > 0, 2 ** np.ceil(np.log2(n1 + 1)).astype(np.int64),
+                      0)
+        n2 = np.where(n2 > 0, 2 ** np.ceil(np.log2(n2 + 1)).astype(np.int64),
+                      0)
+        keys = n1 * 100000 + n2
     for key in np.unique(keys):
         sel = np.nonzero(keys == key)[0]
         a, b = int(n1[sel[0]]), int(n2[sel[0]])

@@ -63,7 +63,15 @@ def measure(n_devices: int, rays_per_device: int = 1024, iters: int = 10):
                 cos_anneal_ratio=1.0, use_match_features=False,
                 key=jax.random.fold_in(jax.random.PRNGKey(0), i), train=False)
             return acc + jnp.sum(out["color_fine"])
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        # the carry becomes varying over the rays axis inside the body;
+        # mark the init accordingly (JAX>=0.9 checks manual-axis vma)
+        acc0 = jnp.float32(0.0)
+        try:
+            acc0 = jax.lax.pvary(acc0, ("rays",))
+        except AttributeError:
+            acc0 = jax.lax.pcast(acc0, ("rays",), to="varying")
+        acc = jax.lax.fori_loop(0, iters, body, acc0)
+        return jax.lax.psum(acc, "rays")
 
     sharded = jax.jit(shard_map(
         device_render, mesh=mesh,
