@@ -35,13 +35,23 @@ def eval_sdf_grid(sdf_fn, bound_min, bound_max, resolution: int,
     zs = np.linspace(bound_min[2], bound_max[2], resolution, dtype=np.float32)
 
     block = min(block, resolution)
+    # cap any single SDF evaluation at ~block**3 points (the reference's 64^3
+    # chunk, implicit_surface.py:408-421): an x-slab is block*res*res points,
+    # which at res>=192 OOMs HBM through the 128-wide MLP temps. lax.map runs
+    # the sub-chunks SEQUENTIALLY inside one jit -> memory is O(chunk), not
+    # O(slab), and there is still exactly one compile.
+    chunk = block ** 3
 
     @jax.jit
     def eval_slab(x_slab):
         gx, gy, gz = jnp.meshgrid(x_slab, jnp.asarray(ys), jnp.asarray(zs),
                                   indexing="ij")
         pts = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-        return (-sdf_fn(pts)).reshape(block, resolution, resolution)
+        n = pts.shape[0]
+        pad = (-n) % chunk
+        pts = jnp.pad(pts, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        vals = jax.lax.map(sdf_fn, pts).reshape(-1)[:n]
+        return (-vals).reshape(block, resolution, resolution)
 
     out = np.empty((resolution, resolution, resolution), np.float32)
     for x0 in range(0, resolution, block):

@@ -26,7 +26,8 @@ from gens_tpu.mesh.extract import extract_geometry
 from gens_tpu.mesh.ply import apply_transform, write_ply
 from gens_tpu.models.gens import GenSModel
 from gens_tpu.models.renderer import Scene
-from gens_tpu.train.checkpoint import (latest_checkpoint, load_checkpoint,
+from gens_tpu.train.checkpoint import (CKPT_FORMAT_VERSION,
+                                       latest_checkpoint, load_checkpoint,
                                        save_checkpoint)
 from gens_tpu.train.schedule import cos_anneal_ratio
 from gens_tpu.train.step import (TrainState, init_train_state,
@@ -159,10 +160,15 @@ class Runner:
             resume = latest_checkpoint(
                 os.path.join(self.exp_dir, "checkpoints"))
         if resume:
-            ckpt = load_checkpoint(resume)
+            # target restores optax NamedTuple structure (orbax saves them
+            # as plain dicts); values come from the fresh init above
+            ckpt = load_checkpoint(resume, target={
+                "epoch": 0, "step": 0,
+                "format_version": CKPT_FORMAT_VERSION,
+                "params": state.params, "opt_state": state.opt_state})
             state = TrainState(ckpt["params"], ckpt["opt_state"],
                                jnp.asarray(ckpt["step"], jnp.int32))
-            start_epoch = ckpt["epoch"] + 1
+            start_epoch = int(ckpt["epoch"]) + 1
 
         n_data = cfg.parallel.data
         n_view = cfg.parallel.view

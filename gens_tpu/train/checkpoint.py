@@ -68,16 +68,25 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, Any]:
     """Auto-detects the on-disk format: an orbax checkpoint directory or a
-    pickle file (incl. untagged round-1 checkpoints)."""
+    pickle file (incl. untagged round-1 checkpoints).
+
+    ``target``: optional payload template (same tree as was saved, concrete
+    values fine). Orbax serializes NamedTuples (e.g. optax opt_state) as
+    plain dicts; restoring WITHOUT a target returns those dicts, which then
+    fail pytree-structure matching inside the jitted train step. Pass the
+    freshly-initialized payload to get the original structure back. Ignored
+    for pickle (which preserves structure natively).
+    """
     if os.path.isdir(path):
         ocp = _orbax()
         if ocp is None:
             raise RuntimeError(f"{path} is an orbax checkpoint but orbax is "
                                "not importable")
         with ocp.StandardCheckpointer() as ckptr:
-            payload = ckptr.restore(os.path.abspath(path))
+            payload = ckptr.restore(os.path.abspath(path), target)
         return payload
     with open(path, "rb") as f:
         payload = pickle.load(f)
