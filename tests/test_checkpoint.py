@@ -49,6 +49,40 @@ def test_pickle_roundtrip_and_v1_compat(payload, tmp_path):
     assert load_checkpoint(p1)["format_version"] == 1
 
 
+def test_orbax_target_restores_namedtuple_structure(tmp_path):
+    """Orbax serializes NamedTuples (optax opt_state) as plain dicts;
+    restoring with a target payload must give back the ORIGINAL pytree
+    structure or the resumed train step fails structure matching
+    (runner.py train resume path)."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+    import optax
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros(2)}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    payload = {"epoch": 1, "step": 5, "params": params,
+               "opt_state": opt_state}
+    p = os.path.join(tmp_path, "ckpts", "model_001.ckpt")
+    save_checkpoint(p, payload)
+
+    # without target: NamedTuple structure is lost (documented behavior)
+    flat = load_checkpoint(p)
+    assert (jax.tree_util.tree_structure(flat["opt_state"])
+            != jax.tree_util.tree_structure(opt_state))
+
+    # with target: exact structure back, and the restored state is usable
+    back = load_checkpoint(p, target={
+        "epoch": 0, "step": 0, "format_version": 0,
+        "params": params, "opt_state": opt_state})
+    assert (jax.tree_util.tree_structure(back["opt_state"])
+            == jax.tree_util.tree_structure(opt_state))
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, back["opt_state"], back["params"])
+    assert jax.tree_util.tree_structure(updates) \
+        == jax.tree_util.tree_structure(params)
+
+
 def test_latest_checkpoint_orders(tmp_path):
     d = os.path.join(tmp_path, "ckpts")
     for i in (2, 0, 1):
