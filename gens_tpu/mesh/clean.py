@@ -164,14 +164,32 @@ def face_components(tris: np.ndarray) -> np.ndarray:
 
 def clean_mesh_outside_frustum(verts: np.ndarray, tris: np.ndarray,
                                intrs: np.ndarray, c2ws: np.ndarray,
-                               img_hw, upscale: int = 2,
+                               img_hw, upscale: Optional[int] = None,
                                min_component: int = 500):
     """Keep faces visible as FIRST hits from the cameras, then drop small
-    components (reference clean_mesh.py:37-106)."""
+    components (reference clean_mesh.py:37-106).
+
+    ``upscale=None`` auto-scales the ray grid to out-resolve the faces: if
+    pixel footprints are larger than faces, the kept set fragments into
+    speckles that ``min_component`` then wipes out (measured: a 192-res
+    mesh under 128px/2x rays survives with 0 faces; the reference's fixed
+    2x works only because DTU's 1600x1200 frames out-resolve its 512-res
+    meshes)."""
     if len(tris) == 0:
         return verts, tris
     caster = Raycaster(verts, tris)
     H, W = img_hw
+    if upscale is None:
+        # median face edge vs. pixel footprint at the median face depth
+        med_edge = float(np.median(np.linalg.norm(
+            verts[tris[:, 0]] - verts[tris[:, 1]], axis=-1)))
+        cam = c2ws[0][:3, 3]
+        depth = float(np.median(np.linalg.norm(
+            verts[tris[:, 0]] - cam[None], axis=-1)))
+        focal = float(intrs[0][0, 0])
+        pix_world = depth / max(focal, 1e-6)
+        upscale = int(np.clip(np.ceil(1.5 * pix_world / max(med_edge, 1e-9)),
+                              2, 8))
     keep = np.zeros(len(tris), bool)
     for v in range(len(c2ws)):
         hh, ww = H * upscale, W * upscale

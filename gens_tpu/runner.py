@@ -147,6 +147,31 @@ class Runner:
         pending.clear()
         return avg
 
+    def _preempt_guard(self):
+        """Install (once) the SIGTERM guard: cloud TPU preemptions deliver
+        SIGTERM before eviction; the train loops checkpoint and exit cleanly,
+        and ``--resume auto`` continues on the replacement VM."""
+        if not hasattr(self, "_preempt"):
+            from gens_tpu.utils.preemption import PreemptionGuard
+
+            self._preempt = PreemptionGuard().__enter__()
+        return self._preempt
+
+    def _preempt_save(self, state, epoch, complete=False):
+        """Collective preemption checkpoint. Mid-epoch the ckpt records
+        epoch-1 so the interrupted epoch replays from its start on resume
+        (params already carry its partial progress; replaying a fraction of
+        one epoch's data is standard and avoids persisting mid-epoch loader
+        state). ``complete=True`` at an epoch boundary resumes at epoch+1."""
+        save_checkpoint(
+            os.path.join(self.exp_dir, "checkpoints", "preempt.ckpt"),
+            {"epoch": epoch if complete else epoch - 1,
+             "step": int(state.step),
+             "params": state.params, "opt_state": state.opt_state})
+        self.state = state
+        print(f"preemption checkpoint saved at epoch {epoch} "
+              f"(step {int(state.step)}); exiting", flush=True)
+
     def train(self, resume: Optional[str] = None):
         cfg = self.cfg
         dataset = get_dataset(cfg.train_dataset, "train", self.rng)
@@ -178,6 +203,7 @@ class Runner:
 
         _, step_fn = make_train_step(self.model, cfg, steps_per_epoch)
 
+        preempt = self._preempt_guard()
         for epoch in range(start_epoch, cfg.train.epochs):
             if epoch % self.cfg.model.match_sync_every == 0:
                 params = sync_match_features(state.params)
@@ -207,6 +233,9 @@ class Runner:
                     scalars["sec_per_step"] = (time.time() - t0) / (batch + 1)
                     self.logger.log("train", scalars,
                                     epoch * steps_per_epoch + batch)
+                    if preempt.requested:
+                        self._preempt_save(state, epoch)
+                        return
             self._flush_metrics(pending, avg, state, epoch)
             self.logger.log("train_avg", avg.avg_data, epoch)
 
@@ -219,6 +248,9 @@ class Runner:
                      "params": state.params, "opt_state": state.opt_state})
             if (epoch + 1) % cfg.train.val_freq == 0:
                 self.validate(state.params, epoch)
+            if preempt.requested:
+                self._preempt_save(state, epoch, complete=True)
+                return
         self.state = state
 
     # keys every sharded train batch must carry (fixed schema: heterogeneous
@@ -293,6 +325,7 @@ class Runner:
             self.model, cfg, mesh, n_views=dataset[0]["imgs"].shape[0],
             steps_per_epoch=steps_per_epoch, use_pseudo=use_pseudo)
 
+        preempt = self._preempt_guard()
         for epoch in range(start_epoch, cfg.train.epochs):
             if epoch % cfg.model.match_sync_every == 0:
                 params = sync_match_features(state.params)
@@ -336,11 +369,20 @@ class Runner:
                 pending.append(metrics)
                 if batch % log_every == 0:
                     self._flush_metrics(pending, avg, state, epoch)
+                    # requested_global is collective — every host reaches
+                    # this same (epoch, batch) point, so the agreement (and
+                    # the collective save below) cannot deadlock
+                    if preempt.requested_global():
+                        self._preempt_save(state, epoch)
+                        return
             self._flush_metrics(pending, avg, state, epoch)
             if main:
                 self.logger.log("train_avg", avg.avg_data, epoch)
-            if main and ((epoch + 1) % cfg.train.save_freq == 0
-                         or epoch + 1 >= cfg.train.epochs):
+            # NOT main-gated: a multi-host orbax save is COLLECTIVE — every
+            # process must enter (each contributes its addressable shards;
+            # orbax writes each array once). Gating on host 0 would deadlock.
+            if ((epoch + 1) % cfg.train.save_freq == 0
+                    or epoch + 1 >= cfg.train.epochs):
                 save_checkpoint(
                     os.path.join(self.exp_dir, "checkpoints",
                                  f"model_{epoch:03d}.ckpt"),
@@ -348,6 +390,9 @@ class Runner:
                      "params": state.params, "opt_state": state.opt_state})
             if main and (epoch + 1) % cfg.train.val_freq == 0:
                 self.validate(state.params, epoch)
+            if preempt.requested_global():
+                self._preempt_save(state, epoch, complete=True)
+                return
         self.state = state
 
     # ------------------------------------------------------------------

@@ -85,9 +85,22 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
         if ocp is None:
             raise RuntimeError(f"{path} is an orbax checkpoint but orbax is "
                                "not importable")
-        with ocp.StandardCheckpointer() as ckptr:
-            payload = ckptr.restore(os.path.abspath(path), target)
-        return payload
+        if target is not None:
+            with ocp.StandardCheckpointer() as ckptr:
+                return ckptr.restore(os.path.abspath(path), target)
+        # no target: restore as NUMPY. The default restore re-applies the
+        # shardings recorded at save time, which fails when the checkpoint
+        # was written on different hardware (TPU-saved -> CPU-restored:
+        # "Device TPU v5 lite0 was not found"); numpy is host-portable and
+        # callers jnp.asarray what they need.
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(os.path.abspath(path)).item_metadata
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                dict(meta) if hasattr(meta, "keys") else meta)
+            return ckptr.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(restore_args=restore_args))
     with open(path, "rb") as f:
         payload = pickle.load(f)
     payload.setdefault("format_version", 1)
@@ -95,7 +108,12 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest checkpoint by mtime (name as tiebreak): epoch checkpoints and
+    preemption checkpoints ('preempt.ckpt') interleave, so lexical order
+    would rank a stale preempt.ckpt above a newer model_NNN.ckpt."""
     if not os.path.isdir(ckpt_dir):
         return None
-    ckpts = sorted(p for p in os.listdir(ckpt_dir) if p.endswith(".ckpt"))
-    return os.path.join(ckpt_dir, ckpts[-1]) if ckpts else None
+    ckpts = [os.path.join(ckpt_dir, p) for p in os.listdir(ckpt_dir)
+             if p.endswith(".ckpt")]
+    return max(ckpts, key=lambda p: (os.path.getmtime(p), p),
+               default=None)

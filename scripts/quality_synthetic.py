@@ -88,6 +88,8 @@ def mesh_metrics(verts, tris, radius, raw, label):
         np.asarray(verts), np.asarray(tris), masks, intrs, c2ws,
         min_nb_visible=1, dilate_radius=2)
     if len(ctris):
+        # upscale=None auto-scales the ray grid to out-resolve the faces
+        # (otherwise the kept set fragments and min_component wipes it out)
         cverts, ctris = clean_mesh_outside_frustum(
             cverts, ctris, intrs, c2ws, masks.shape[1:3],
             min_component=100)
@@ -95,10 +97,40 @@ def mesh_metrics(verts, tris, radius, raw, label):
     out[f"{label}_verts_clean"] = int(len(cverts))
     if not len(cverts):
         return out
-    # accuracy (d2s): cleaned mesh vertex -> analytic sphere surface
-    d2s = np.abs(np.linalg.norm(cverts, axis=-1) - radius)
+    # DTU-protocol crops before accuracy (dtu_eval.py:104-118): (a) the GT
+    # bounding box + margin (drops the NeuS geometric-init unit-sphere
+    # remnant, which the reference's meshes also carry and its ObsMask crop
+    # removes), (b) the ObsMask analog — only verts OBSERVABLE from >=1
+    # camera (in-frustum and on the camera-facing side) are scored, exactly
+    # like DTU only scores the observed volume.
+    H, W = masks.shape[1:3]
+    pts = cverts[np.linalg.norm(cverts, axis=-1) < radius + 0.1]
+    out[f"{label}_verts_bbox"] = int(len(pts))
+    if not len(pts):
+        return out
+    rdirs = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True),
+                             1e-8)
+    obs = np.zeros(len(pts), bool)
+    for v in range(c2ws.shape[0]):
+        cam = c2ws[v][:3, 3]
+        facing = np.sum(rdirs * (cam[None] - pts), axis=-1) > 0
+        w2c = np.linalg.inv(c2ws[v])
+        p_cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        uvw = p_cam @ intrs[v].T
+        xy = uvw[:, :2] / np.maximum(uvw[:, 2:], 1e-8)
+        infr = ((uvw[:, 2] > 0) & (xy[:, 0] >= 0) & (xy[:, 0] < W)
+                & (xy[:, 1] >= 0) & (xy[:, 1] < H))
+        obs |= facing & infr
+    scored = pts[obs] if obs.any() else pts
+    out[f"{label}_verts_scored"] = int(obs.sum())
+    # accuracy (d2s): scored mesh vertex -> analytic sphere surface
+    d2s = np.abs(np.linalg.norm(scored, axis=-1) - radius)
     out[f"{label}_acc_mean"] = float(d2s.mean())
+    out[f"{label}_acc_p50"] = float(np.percentile(d2s, 50))
     out[f"{label}_acc_p90"] = float(np.percentile(d2s, 90))
+    # uncropped accuracy for transparency (incl. init-sphere remnant)
+    d2s_all = np.abs(np.linalg.norm(cverts, axis=-1) - radius)
+    out[f"{label}_acc_mean_uncropped"] = float(d2s_all.mean())
 
     # completeness (s2d): camera-visible GT surface samples -> mesh
     rng = np.random.RandomState(0)
@@ -130,7 +162,8 @@ def mesh_metrics(verts, tris, radius, raw, label):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--phase", default="all", choices=["a", "b", "all"])
+    p.add_argument("--phase", default="all",
+                   choices=["a", "b", "all", "eval"])
     p.add_argument("--steps-a", type=int, default=1500)
     p.add_argument("--steps-b", type=int, default=4000)
     p.add_argument("--n-train-scenes", type=int, default=6)
@@ -360,6 +393,34 @@ def main():
         save_checkpoint("runs/quality_gen.ckpt",
                         {"epoch": 0, "step": args.steps_b,
                          "params": state.params})
+
+    if args.phase == "eval":
+        # re-score saved checkpoints (e.g. after a metric-protocol change)
+        # without retraining; merges into an existing artifact when present
+        from gens_tpu.train.checkpoint import load_checkpoint
+
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                results.update(json.load(f))
+        if os.path.exists("runs/quality_overfit.ckpt"):
+            ckpt = load_checkpoint("runs/quality_overfit.ckpt")
+            cfg = build_config(args.steps_a)
+            model = GenSModel(cfg.model)
+            kw = scene_params(0)
+            results.update(eval_scene(model, ckpt["params"], kw, "overfit",
+                                      kw["radius"]))
+            flush()
+        if os.path.exists("runs/quality_gen.ckpt"):
+            ckpt = load_checkpoint("runs/quality_gen.ckpt")
+            cfg = build_config(args.steps_b)
+            model = GenSModel(cfg.model)
+            kw_held = scene_params(-1)
+            results.update(eval_scene(model, ckpt["params"], kw_held,
+                                      "heldout", kw_held["radius"]))
+            kw0 = scene_params(0)
+            results.update(eval_scene(model, ckpt["params"], kw0, "trained",
+                                      kw0["radius"]))
+            flush()
 
     flush()
     print("wrote", args.out, flush=True)

@@ -20,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeated suite runs skip identical XLA compiles
+# (the renderer's first CPU jit takes minutes)
+jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

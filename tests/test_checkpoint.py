@@ -84,9 +84,24 @@ def test_orbax_target_restores_namedtuple_structure(tmp_path):
 
 
 def test_latest_checkpoint_orders(tmp_path):
+    """'Latest' is by mtime: a preemption checkpoint written after
+    model_002 must win, but once a NEWER epoch checkpoint lands the stale
+    preempt.ckpt must lose (lexical order would rank it first forever)."""
     d = os.path.join(tmp_path, "ckpts")
-    for i in (2, 0, 1):
+    for i in (0, 1, 2):
         save_checkpoint(os.path.join(d, f"model_{i:03d}.ckpt"),
                         {"epoch": i}, use_orbax=False)
+        os.utime(os.path.join(d, f"model_{i:03d}.ckpt"), (1000 + i, 1000 + i))
     assert latest_checkpoint(d).endswith("model_002.ckpt")
+
+    p = os.path.join(d, "preempt.ckpt")
+    save_checkpoint(p, {"epoch": 1}, use_orbax=False)
+    os.utime(p, (1010, 1010))
+    assert latest_checkpoint(d).endswith("preempt.ckpt")
+
+    save_checkpoint(os.path.join(d, "model_003.ckpt"), {"epoch": 3},
+                    use_orbax=False)
+    os.utime(os.path.join(d, "model_003.ckpt"), (1020, 1020))
+    assert latest_checkpoint(d).endswith("model_003.ckpt")
+
     assert latest_checkpoint(os.path.join(tmp_path, "nope")) is None
