@@ -329,7 +329,11 @@ class Renderer:
         grad_norm = safe_norm(gradients.reshape(R, S, 3), axis=-1)
         grad_sq_err = (grad_norm - 1.0) ** 2
 
-        # 2nd-order smoothness at the surface (implicit_surface.py:252-253)
+        # 2nd-order smoothness at the surface (implicit_surface.py:252-253).
+        # TRAIN-ONLY: with train=False the Hessian jvp is skipped and
+        # ``smooth`` (hence this key) is identically zero — a placeholder so
+        # the return pytree keeps one structure, NOT a measurement. Don't
+        # read it at inference.
         smooth_sur = jnp.sum(
             smooth.reshape(R, S, 3)
             * jax.lax.stop_gradient(weights)[..., None]

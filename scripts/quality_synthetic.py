@@ -163,9 +163,10 @@ def mesh_metrics(verts, tris, radius, raw, label):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phase", default="all",
-                   choices=["a", "b", "all", "eval"])
+                   choices=["a", "b", "all", "eval", "ft"])
     p.add_argument("--steps-a", type=int, default=1500)
     p.add_argument("--steps-b", type=int, default=4000)
+    p.add_argument("--steps-ft", type=int, default=2000)
     p.add_argument("--n-train-scenes", type=int, default=6)
     # training uses 5 views (1 ref + 4 src) like the reference recipe
     # (confs/gens.conf); evaluation builds the held-out scene from 3 views
@@ -195,10 +196,16 @@ def main():
     from gens_tpu.train.step import init_train_state, make_train_step
 
     hw = (args.hw, args.hw)
-    results = {"config": {"hw": args.hw, "rays": args.rays,
-                          "mesh_res": args.mesh_res,
-                          "volume_dims": [64, 32, 16, 8, 4],
-                          "packed": True}}
+    results = {}
+    if os.path.exists(args.out):
+        # merge-in-place: running a single phase (e.g. a longer --phase b
+        # retrain) must not drop the other phases' recorded evidence
+        with open(args.out) as f:
+            results.update(json.load(f))
+    results["config"] = {"hw": args.hw, "rays": args.rays,
+                         "mesh_res": args.mesh_res,
+                         "volume_dims": [64, 32, 16, 8, 4],
+                         "packed": True}
 
     def pregen_batches(scene_kw, n_batches, with_pseudo, seed0):
         """Pre-generate ray batches (images are identical per scene; only the
@@ -394,14 +401,150 @@ def main():
                         {"epoch": 0, "step": args.steps_b,
                          "params": state.params})
 
+    if args.phase == "ft":
+        # Per-scene finetune regime quality (the reference's third run mode,
+        # runner.py:284-377): load the generalizable checkpoint, one-shot
+        # init_volumes on the held-out scene's eval views, optimize
+        # {volumes + implicit-surface MLP} with the finetune loss overrides
+        # (confs/gens_finetune.conf: sparse 0, smooth 5e-4), and score the
+        # mesh before/after. Evidence that finetuning IMPROVES geometry,
+        # mirroring the reference's direct-inference -> finetuned DTU gain.
+        import optax
+
+        from gens_tpu.losses import compute_losses
+        from gens_tpu.train.checkpoint import load_checkpoint
+        from gens_tpu.train.step import make_finetune_optimizer
+
+        ckpt = load_checkpoint("runs/quality_gen.ckpt")
+        params = ckpt["params"]
+        cfg = build_config(args.steps_ft)
+        cfg.train.anneal_end = max(args.steps_ft // 8, 1)
+        cfg.train.warmup = 0
+        cfg.train.loss.sparse_weight = 0.0
+        cfg.train.loss.smooth_weight = 5e-4
+        cfg.train.loss.pseudo_depth_weight = 0.0
+        model = GenSModel(cfg.model)
+        kw = scene_params(-1)
+        radius = kw["radius"]
+        n_views = args.eval_views
+
+        base = make_scene(n_views=n_views, hw=hw, n_rays=args.rays,
+                          seed=123, spread=args.spread, **kw)
+        init_inputs = {k: jnp.asarray(base[k])
+                       for k in ("imgs", "intrs", "c2ws")}
+        volumes, mask_vols, features = jax.jit(
+            lambda p, i: model.init_volumes(
+                p, i["imgs"], i["intrs"], i["c2ws"]))(params, init_inputs)
+        ft_params = {"volumes": list(volumes), "sdf": params["sdf"],
+                     "blending": params["blending"],
+                     "variance": params["variance"]}
+        static = {"mask_volumes": list(mask_vols),
+                  "features": list(features)}
+        optimizer = make_finetune_optimizer(cfg.train)
+        opt_state = optimizer.init(ft_params)
+
+        # direct-inference baseline from the SAME one-shot volumes (what the
+        # finetune must beat)
+        def ft_mesh_metrics(vols, tag):
+            mlp = {k: ft_params[k] for k in ("sdf", "blending", "variance")}
+            sdf_fn = model.renderer.sdf_fn(mlp, list(vols))
+            verts, tris = extract_geometry(sdf_fn, [-1] * 3, [1] * 3,
+                                           resolution=args.mesh_res,
+                                           block=64)
+            raw_eval = {"masks": base["view_masks"], "intrs": base["intrs"],
+                        "c2ws": base["c2ws"]}
+            return mesh_metrics(verts, tris, radius, raw_eval, tag)
+
+        results.update(ft_mesh_metrics(ft_params["volumes"], "ft_init"))
+        flush()
+
+        # per-step ray resampling over a permuted view (reference
+        # runner.py:296, dtu_finetune.py:258-294), pre-generated host-side
+        H, W = hw
+        prng = np.random.RandomState(7)
+        intr_inv = np.linalg.inv(base["intrs"][0])
+        dist = float(np.linalg.norm(base["c2ws"][0][:3, 3]))
+        near = np.full((1, 1), 0.95 * (dist - 1.0), np.float32)
+        far = np.full((1, 1), 1.05 * (dist + 1.0), np.float32)
+        n_batches = 64
+
+        def ft_batch(b):
+            vid = b % n_views
+            order = np.roll(np.arange(n_views), -vid)
+            px = prng.randint(0, W, args.rays).astype(np.float32)
+            py = prng.randint(0, H, args.rays).astype(np.float32)
+            pix = np.stack([px, py, np.ones_like(px)], -1)
+            d = pix @ intr_inv.T
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            c2w = base["c2ws"][vid]
+            rays_d = (d @ c2w[:3, :3].T).astype(np.float32)
+            rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
+            color = base["imgs"][vid][py.astype(int), px.astype(int)]
+            dirs = prng.randn(512, 3).astype(np.float32)
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            return {k: jnp.asarray(v) for k, v in dict(
+                imgs=base["imgs"][order], intrs=base["intrs"][order],
+                c2ws=base["c2ws"][order], view_ids=order.astype(np.int32),
+                rays_o=np.ascontiguousarray(rays_o), rays_d=rays_d,
+                color=color.astype(np.float32), near=near, far=far,
+                pseudo_pts=dirs * radius).items()}
+
+        batches = [ft_batch(b) for b in range(n_batches)]
+
+        @jax.jit
+        def ft_step(ftp, opt_state, inputs, key, anneal):
+            def loss_fn(p):
+                out = model.forward_finetune(p, static, inputs, anneal, key)
+                losses = compute_losses(out, inputs, cfg.train.loss)
+                mse = jnp.mean((out["color_fine"] - inputs["color"]) ** 2)
+                losses["psnr"] = 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+                return losses["loss"], losses
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(ftp)
+            updates, opt_state = optimizer.update(grads, opt_state, ftp)
+            return optax.apply_updates(ftp, updates), opt_state, metrics
+
+        curve = []
+        t0 = time.time()
+        t_compile = None
+        for step in range(args.steps_ft):
+            anneal = min(1.0, step / max(cfg.train.anneal_end, 1))
+            ft_params, opt_state, metrics = ft_step(
+                ft_params, opt_state, batches[step % n_batches],
+                jax.random.PRNGKey(step), anneal)
+            if step == 0:
+                jax.block_until_ready(metrics["loss"])
+                t_compile = time.time() - t0
+                t0 = time.time()
+            if step % 100 == 0 or step == args.steps_ft - 1:
+                scal = {k: float(metrics[k])
+                        for k in ("loss", "psnr", "eikonal_loss",
+                                  "color_loss")}
+                scal["step"] = step
+                curve.append(scal)
+                print(f"[ft] step {step}: loss {scal['loss']:.4f} "
+                      f"psnr {scal['psnr']:.2f} [{time.time() - t0:.0f}s]",
+                      flush=True)
+        jax.block_until_ready(metrics["loss"])
+        results["ft_curve"] = curve
+        results["ft_ms_per_step"] = (time.time() - t0) * 1e3 / max(
+            args.steps_ft - 1, 1)
+        results["ft_compile_s"] = t_compile
+        results.update(ft_mesh_metrics(ft_params["volumes"], "ft"))
+        save_checkpoint("runs/quality_ft.ckpt",
+                        {"epoch": 0, "step": args.steps_ft,
+                         "params": {**{k: ft_params[k] for k in
+                                       ("sdf", "blending", "variance")},
+                                    "volumes": ft_params["volumes"],
+                                    "mask_volumes": static["mask_volumes"],
+                                    "features": static["features"]}})
+        flush()
+
     if args.phase == "eval":
         # re-score saved checkpoints (e.g. after a metric-protocol change)
         # without retraining; merges into an existing artifact when present
         from gens_tpu.train.checkpoint import load_checkpoint
 
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                results.update(json.load(f))
         if os.path.exists("runs/quality_overfit.ckpt"):
             ckpt = load_checkpoint("runs/quality_overfit.ckpt")
             cfg = build_config(args.steps_a)
