@@ -45,6 +45,11 @@ def measure(packed: bool, args):
         m.color_network.packed_dtype = "bfloat16"
         m.sdf_network.mlp_dtype = "bfloat16"
         m.color_network.mlp_dtype = "bfloat16"
+        # the two that dominate HBM at 256³ (CPU memory analysis: dozens of
+        # live f32[256³,8] U-Net/cascade buffers = most of 14.5 GiB temp,
+        # the v5e-16GB device fault): raw-volume storage + U-Net activations
+        m.volume.dtype = "bfloat16"
+        m.reg_network.dtype = "bfloat16"
     cfg.train.epochs = 1000
     cfg.train.warmup = 10
 
