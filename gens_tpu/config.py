@@ -39,6 +39,12 @@ class VolumeConfig:
     # sums always accumulate in fp32. bf16 halves the 256³ mean/var cascade
     # and makes its autodiff cotangents half-width too.
     dtype: str = "float32"
+    # route the per-voxel per-view feature sampling through the packed 2D
+    # supercell tables (one 9C-wide gather instead of 4 narrow ones;
+    # gradients scatter into the raw feature maps via bilerp_packed_diff).
+    # The aggregation gathers dim³ x V points per scale — the single
+    # largest gather population in the train step.
+    packed_bilerp: bool = False
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as _nn
 
-from gens_tpu.ops.interp import bilerp
+from gens_tpu.ops.interp import bilerp, bilerp_packed_diff, pack_supercell2d
 from gens_tpu.ops.projection import scale_intrinsics
 
 
@@ -45,7 +45,7 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                     dim: int, scale_idx: int, min_vis_view: int = 1,
                     axis_name: Optional[str] = None,
                     view_valid: Optional[jnp.ndarray] = None,
-                    out_dtype=None):
+                    out_dtype=None, packed_bilerp: bool = False):
     """One cascade scale.
 
     feat: (V, H_i, W_i, C) view features at scale ``scale_idx``;
@@ -83,6 +83,13 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
     n_slabs = dim // slab
     gy, gz = jnp.meshgrid(r, r, indexing="ij")  # (dim, dim)
 
+    # Packed fast path: 4 narrow gathers per (voxel, view) collapse to ONE
+    # 9C-wide supercell gather; gradients still scatter into the raw feature
+    # map (bilerp_packed_diff custom_jvp — the pack conv appears in no
+    # backward). Pack once per scale OUTSIDE the slab scan (PERF.md: packs
+    # inside loop bodies are not reliably hoisted on TPU).
+    packed = pack_supercell2d(feat) if packed_bilerp else None
+
     def slab_body(carry, xs_r):
         pts = jnp.stack([
             jnp.broadcast_to(xs_r[:, None, None], (slab, dim, dim)),
@@ -92,7 +99,7 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         Ns = pts.shape[0]
 
         @jax.checkpoint
-        def contribution(feat_v, intr_v, c2w_v, valid_v):
+        def contribution(feat_v, table_v, intr_v, c2w_v, valid_v):
             with jax.default_matmul_precision("highest"):
                 w2c = jnp.linalg.inv(c2w_v)
                 cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
@@ -104,7 +111,10 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
             ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
             mask = (jnp.abs(nx) <= 1) & (jnp.abs(ny) <= 1) & (cam[:, 2] > 0)
             mask = mask.astype(feat.dtype) * valid_v
-            vals = bilerp(feat_v, xy)  # (Ns, C), zero outside
+            if table_v is None:
+                vals = bilerp(feat_v, xy)  # (Ns, C), zero outside
+            else:
+                vals = bilerp_packed_diff(feat_v, table_v, packed.dims, xy)
             vm = vals * mask[..., None]
             return vm, vm ** 2, mask
 
@@ -112,7 +122,9 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         warp_sq_sum = jnp.zeros((Ns, C), jnp.float32)
         mask_sum = jnp.zeros((Ns,), jnp.float32)
         for v in range(V):
-            vm, vm2, m = contribution(feat[v], intrs_i[v], c2ws[v], valid[v])
+            vm, vm2, m = contribution(
+                feat[v], None if packed is None else packed.table[v],
+                intrs_i[v], c2ws[v], valid[v])
             warp_sum = warp_sum + vm.astype(jnp.float32)
             warp_sq_sum = warp_sq_sum + vm2.astype(jnp.float32)
             mask_sum = mask_sum + m.astype(jnp.float32)
@@ -192,7 +204,7 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
                  c2ws: jnp.ndarray, volume_dims: Sequence[int],
                  min_vis_view: int = 1, axis_name: Optional[str] = None,
                  view_valid: Optional[jnp.ndarray] = None,
-                 out_dtype=None
+                 out_dtype=None, packed_bilerp: bool = False
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Build the full cascade. ``features[i]``: (V, H_i, W_i, C) fine-to-coarse.
 
@@ -205,6 +217,7 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
             features[i], intrs, c2ws, dim, i,
             min_vis_view=min_vis_view, axis_name=axis_name,
             view_valid=view_valid, out_dtype=out_dtype,
+            packed_bilerp=packed_bilerp,
         )
         volumes.append(vol)
         masks.append(m)

@@ -40,6 +40,7 @@ def measure(packed: bool, args):
     m.volume.volume_dims = tuple(max(dims >> i, 2) for i in range(5))
     m.sdf_network.packed_trilerp = packed
     m.color_network.packed_bilerp = packed
+    m.volume.packed_bilerp = args.agg_packed
     if args.bf16:
         m.sdf_network.volume_dtype = "bfloat16"
         m.color_network.packed_dtype = "bfloat16"
@@ -115,6 +116,8 @@ def main():
     p.add_argument("--w", type=int, default=640)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--agg-packed", action="store_true",
+                   help="packed-diff bilerp in volume aggregation")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--modes", default="packed,raw")
     p.add_argument("--out", default=None)

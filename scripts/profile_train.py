@@ -34,6 +34,8 @@ def main():
     p.add_argument("--h", type=int, default=480)
     p.add_argument("--w", type=int, default=640)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--agg-packed", action="store_true",
+                   help="packed-diff bilerp in volume aggregation")
     p.add_argument("--raw", action="store_true",
                    help="disable the packed-diff training lookups")
     p.add_argument("--cpu", action="store_true")
@@ -61,6 +63,7 @@ def main():
     m.volume.volume_dims = tuple(max(args.dims >> i, 2) for i in range(5))
     m.sdf_network.packed_trilerp = not args.raw
     m.color_network.packed_bilerp = not args.raw
+    m.volume.packed_bilerp = args.agg_packed
     if args.bf16:
         m.sdf_network.volume_dtype = "bfloat16"
         m.color_network.packed_dtype = "bfloat16"

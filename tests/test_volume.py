@@ -101,3 +101,79 @@ def test_view_sharded_aggregation_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask))
+
+
+def test_packed_bilerp_aggregation_matches_plain(rng):
+    """packed_bilerp=True must match the plain path exactly: volumes, masks,
+    and the feature-map gradient (the packed-diff contract — forward reads
+    the supercell table, backward scatters into the raw feature map)."""
+    V, H, W, C = 3, 24, 20, 4
+    dim = 8
+    intrs, c2ws = _cams(V, (H, W), f=24.0)
+    feat = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    intrs = jnp.asarray(intrs)
+    c2ws = jnp.asarray(c2ws)
+
+    def run(packed):
+        vol, mask = aggregate_scale(feat, intrs, c2ws, dim, 0,
+                                    packed_bilerp=packed)
+        return vol, mask
+
+    vol_a, mask_a = run(False)
+    vol_b, mask_b = run(True)
+    np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+    np.testing.assert_allclose(np.asarray(vol_a), np.asarray(vol_b),
+                               atol=2e-5, rtol=2e-5)
+
+    # gradient wrt the feature maps (the training direction)
+    def loss(f, packed):
+        vol, _ = aggregate_scale(f, intrs, c2ws, dim, 0,
+                                 packed_bilerp=packed)
+        return jnp.sum(vol * jnp.cos(jnp.arange(vol.size,
+                                                dtype=jnp.float32)
+                                     .reshape(vol.shape)))
+
+    g_a = jax.grad(lambda f: loss(f, False))(feat)
+    g_b = jax.grad(lambda f: loss(f, True))(feat)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_view_sharded_packed_aggregation_matches_single_device(rng):
+    """packed_bilerp under a sharded view axis: each device packs only its
+    local views; the psum triplet must still match the single-device plain
+    path exactly."""
+    V_real, V_pad = 6, 8
+    intrs, c2ws = _cams(V_real)
+    feat = rng.rand(V_real, 32, 32, 4).astype(np.float32)
+
+    ref_vol, ref_mask = aggregate_scale(
+        jnp.asarray(feat), jnp.asarray(intrs), jnp.asarray(c2ws),
+        dim=8, scale_idx=0)
+
+    feat_p = np.zeros((V_pad, 32, 32, 4), np.float32)
+    feat_p[:V_real] = feat
+    intrs_p = np.repeat(intrs[:1], V_pad, 0)
+    intrs_p[:V_real] = intrs
+    c2ws_p = np.repeat(np.eye(4, dtype=np.float32)[None], V_pad, 0)
+    c2ws_p[:V_real] = c2ws
+    valid = (np.arange(V_pad) < V_real).astype(np.float32)
+
+    devices = np.array(jax.devices("cpu")[:4]).reshape(4)
+    mesh = Mesh(devices, ("view",))
+
+    def fn(feat_l, intrs_l, c2ws_l, valid_l):
+        return aggregate_scale(feat_l, intrs_l, c2ws_l, dim=8, scale_idx=0,
+                               axis_name="view", view_valid=valid_l,
+                               packed_bilerp=True)
+
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("view"), P("view"), P("view"), P("view")),
+        out_specs=(P(), P()),
+    )
+    vol, mask = sharded(jnp.asarray(feat_p), jnp.asarray(intrs_p),
+                        jnp.asarray(c2ws_p), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask))
