@@ -326,9 +326,10 @@ def main():
         mse = float(((color - gt) ** 2).mean())
         psnr = 20.0 * np.log10(1.0 / np.sqrt(mse + 1e-12))
 
-        # raw jnp SDF fn (not the Pallas fused kernel: its TPU output is not
-        # yet numerically validated against the jnp path on-device)
-        sdf_fn = model.renderer.sdf_fn(params, scene.volumes)
+        # Pallas fused kernel on TPU, jnp elsewhere — the compiled kernel is
+        # bit-exact vs the jnp path on-device (scripts/validate_pallas.py,
+        # PALLAS_PARITY.json: max_abs_diff 0.0 over 262k points)
+        sdf_fn = model.renderer.sdf_fn_for_extraction(params, scene.volumes)
         verts, tris = extract_geometry(sdf_fn, [-1] * 3, [1] * 3,
                                        resolution=args.mesh_res, block=64)
         # masks for cleaning come from the analytic hit masks
@@ -447,7 +448,7 @@ def main():
         # finetune must beat)
         def ft_mesh_metrics(vols, tag):
             mlp = {k: ft_params[k] for k in ("sdf", "blending", "variance")}
-            sdf_fn = model.renderer.sdf_fn(mlp, list(vols))
+            sdf_fn = model.renderer.sdf_fn_for_extraction(mlp, list(vols))
             verts, tris = extract_geometry(sdf_fn, [-1] * 3, [1] * 3,
                                            resolution=args.mesh_res,
                                            block=64)
