@@ -77,18 +77,23 @@ def main():
         loop_fn, init = make_fn(*fn_args)
 
         @jax.jit
-        def run(*a):
+        def run(salt, *a):
             def body(acc, i):
                 return acc + loop_fn(i, *a), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(K))
+            acc, _ = jax.lax.scan(body, salt, jnp.arange(K))
             return acc
 
+        # time around an actual host transfer of the accumulated scalar —
+        # through the tunnel block_until_ready alone returns without waiting
+        # (measured: 0.2 ms for a 480p 5-view FPN pass), float() does not.
+        # The per-call salt defeats any (program, args) result memoization.
         t0 = time.time()
-        jax.block_until_ready(run(*init))
+        a0 = float(run(jnp.float32(0.125), *init))
         compile_s = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(run(*init))
+        a1 = float(run(jnp.float32(0.25), *init))
         ms = (time.time() - t0) / K * 1e3
+        assert np.isfinite(a0) and np.isfinite(a1)
         print(f"{name:24s} {ms:9.1f} ms  (compile {compile_s:.0f}s)",
               flush=True)
         return ms
