@@ -40,11 +40,14 @@ class VolumeConfig:
     # and makes its autodiff cotangents half-width too.
     dtype: str = "float32"
     # route the per-voxel per-view feature sampling through the packed 2D
-    # supercell tables (one 9C-wide gather instead of 4 narrow ones;
-    # gradients scatter into the raw feature maps via bilerp_packed_diff).
-    # The aggregation gathers dim³ x V points per scale — the single
-    # largest gather population in the train step.
-    packed_bilerp: bool = False
+    # supercell tables (one 9C-wide gather instead of 4 narrow ones). The
+    # aggregation is the single largest gather population in the train step
+    # and its BACKWARD dominates training (TRAINBENCH_r02: 87% at 128³).
+    # False: plain bilerp. True / "diff": packed forward, cotangents scatter
+    # into the raw feature maps (bilerp_packed_diff). "table": differentiate
+    # through the supercell table — 4x fewer, 9x wider scatter rows, then
+    # the pack conv's transpose (a dense conv) finishes the job.
+    packed_bilerp: object = False
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to

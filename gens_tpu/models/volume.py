@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as _nn
 
-from gens_tpu.ops.interp import bilerp, bilerp_packed_diff, pack_supercell2d
+from gens_tpu.ops.interp import (bilerp, bilerp_packed_diff, bilerp_supercell,
+                                 pack_supercell2d)
 from gens_tpu.ops.projection import scale_intrinsics
 
 
@@ -83,12 +84,20 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
     n_slabs = dim // slab
     gy, gz = jnp.meshgrid(r, r, indexing="ij")  # (dim, dim)
 
-    # Packed fast path: 4 narrow gathers per (voxel, view) collapse to ONE
-    # 9C-wide supercell gather; gradients still scatter into the raw feature
-    # map (bilerp_packed_diff custom_jvp — the pack conv appears in no
-    # backward). Pack once per scale OUTSIDE the slab scan (PERF.md: packs
-    # inside loop bodies are not reliably hoisted on TPU).
-    packed = pack_supercell2d(feat) if packed_bilerp else None
+    # Packed fast paths: 4 narrow gathers per (voxel, view) collapse to ONE
+    # 9C-wide supercell gather. Two gradient routes:
+    #   "diff"  — cotangents scatter into the RAW feature map
+    #             (bilerp_packed_diff custom_jvp; pack conv in no backward);
+    #   "table" — differentiate THROUGH the table: the scatter goes into the
+    #             supercell rows (4x fewer scatter rows, 36-wide instead of
+    #             4-wide — 9x better lane utilization) and the pack conv's
+    #             transpose (a regular conv) carries table-cotangents into
+    #             the image. The aggregation BACKWARD is 87% of the train
+    #             step (TRAINBENCH_r02), and the scatter is what it pays for.
+    # Pack once per scale OUTSIDE the slab scan (PERF.md: packs inside loop
+    # bodies are not reliably hoisted on TPU).
+    mode = "diff" if packed_bilerp is True else packed_bilerp
+    packed = pack_supercell2d(feat) if mode in ("diff", "table") else None
 
     def slab_body(carry, xs_r):
         pts = jnp.stack([
@@ -113,6 +122,8 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
             mask = mask.astype(feat.dtype) * valid_v
             if table_v is None:
                 vals = bilerp(feat_v, xy)  # (Ns, C), zero outside
+            elif mode == "table":
+                vals = bilerp_supercell(table_v, packed.dims, xy)
             else:
                 vals = bilerp_packed_diff(feat_v, table_v, packed.dims, xy)
             vm = vals * mask[..., None]

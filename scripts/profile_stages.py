@@ -31,7 +31,8 @@ def main():
     p.add_argument("--w", type=int, default=640)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--agg-packed", action="store_true")
+    p.add_argument("--agg-packed", nargs="?", const="diff",
+                   default=False, choices=[False, "diff", "table"])
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--stages", default="feature,agg,unet,render")
     p.add_argument("--out", default=None)

@@ -34,8 +34,11 @@ def main():
     p.add_argument("--h", type=int, default=480)
     p.add_argument("--w", type=int, default=640)
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--agg-packed", action="store_true",
-                   help="packed-diff bilerp in volume aggregation")
+    p.add_argument("--agg-packed", nargs="?", const="diff",
+                   default=False, choices=[False, "diff", "table"],
+                   help="packed bilerp in volume aggregation: bare flag = "
+                        "'diff' (raw-map scatter), 'table' = scatter into "
+                        "supercell rows + pack-conv transpose")
     p.add_argument("--raw", action="store_true",
                    help="disable the packed-diff training lookups")
     p.add_argument("--cpu", action="store_true")

@@ -177,3 +177,34 @@ def test_view_sharded_packed_aggregation_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask))
+
+
+def test_table_grad_aggregation_matches_plain(rng):
+    """packed_bilerp="table" (differentiate THROUGH the supercell table:
+    scatter into table rows + pack-conv transpose) must match the plain
+    path: values, masks, and feature-map gradients."""
+    V, H, W, C = 3, 24, 20, 4
+    dim = 8
+    intrs, c2ws = _cams(V, (H, W), f=24.0)
+    feat = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    intrs = jnp.asarray(intrs)
+    c2ws = jnp.asarray(c2ws)
+
+    vol_a, mask_a = aggregate_scale(feat, intrs, c2ws, dim, 0)
+    vol_b, mask_b = aggregate_scale(feat, intrs, c2ws, dim, 0,
+                                    packed_bilerp="table")
+    np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+    np.testing.assert_allclose(np.asarray(vol_a), np.asarray(vol_b),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(f, packed):
+        vol, _ = aggregate_scale(f, intrs, c2ws, dim, 0,
+                                 packed_bilerp=packed)
+        return jnp.sum(vol * jnp.cos(jnp.arange(vol.size,
+                                                dtype=jnp.float32)
+                                     .reshape(vol.shape)))
+
+    g_a = jax.grad(lambda f: loss(f, False))(feat)
+    g_b = jax.grad(lambda f: loss(f, "table"))(feat)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               atol=2e-5, rtol=2e-5)
