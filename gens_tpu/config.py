@@ -46,8 +46,10 @@ class VolumeConfig:
     # False: plain bilerp. True / "diff": packed forward, cotangents scatter
     # into the raw feature maps (bilerp_packed_diff). "table": differentiate
     # through the supercell table — 4x fewer, 9x wider scatter rows, then
-    # the pack conv's transpose (a dense conv) finishes the job.
-    packed_bilerp: object = False
+    # the pack conv's transpose (a dense conv) finishes the job. Default
+    # "table": measured 3388 -> 715 ms/step at 128³ full scale on v5e
+    # (TRAINBENCH_r02; exactness vs plain pinned in tests/test_volume.py).
+    packed_bilerp: object = "table"
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to
