@@ -96,7 +96,7 @@ def sdf_mlp_fused(params, cfg: SDFNetConfig, x_pe: jnp.ndarray,
     for w, b in wbs:
         weight_args += [w, b]
         weight_specs += [
-            pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
 

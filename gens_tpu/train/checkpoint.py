@@ -107,13 +107,20 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
     return payload
 
 
-def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+def latest_checkpoint(ckpt_dir: str,
+                      exclude: tuple = ("emergency.ckpt",)) -> Optional[str]:
     """Newest checkpoint by mtime (name as tiebreak): epoch checkpoints and
     preemption checkpoints ('preempt.ckpt') interleave, so lexical order
-    would rank a stale preempt.ckpt above a newer model_NNN.ckpt."""
+    would rank a stale preempt.ckpt above a newer model_NNN.ckpt.
+
+    ``emergency.ckpt`` (written by the non-finite-loss failure handler,
+    runner._flush_metrics) is excluded by default: it carries the exact
+    params that just produced a NaN, so an auto-restart loop resuming it
+    would re-crash forever. Auto-resume picks the last GOOD checkpoint; the
+    emergency one stays on disk for debugging."""
     if not os.path.isdir(ckpt_dir):
         return None
     ckpts = [os.path.join(ckpt_dir, p) for p in os.listdir(ckpt_dir)
-             if p.endswith(".ckpt")]
+             if p.endswith(".ckpt") and p not in exclude]
     return max(ckpts, key=lambda p: (os.path.getmtime(p), p),
                default=None)

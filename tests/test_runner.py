@@ -182,6 +182,58 @@ def test_preemption_signal_and_resume(runner_setup):
     assert int(runner2.state.step) >= 4  # 2 epochs x 2 scenes completed
 
 
+def test_emergency_ckpt_excluded_from_auto_resume(runner_setup):
+    """Failure-handler checkpoint quarantine: a non-finite loss saves
+    emergency.ckpt and aborts, but --resume auto must pick the last GOOD
+    checkpoint — resuming the NaN-producing params would re-crash forever."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gens_tpu.train.checkpoint import latest_checkpoint
+    from gens_tpu.utils.meters import DictAverageMeter
+
+    cfg, _, _ = runner_setup
+    cfg = dataclasses.replace(cfg)
+    cfg.train_dataset = dataclasses.replace(
+        cfg.train_dataset, dataset_name="synthetic", num_src_view=2,
+        img_hw=(64, 64), n_rays=24, scene=("s0", "s1"))
+    cfg.train = dataclasses.replace(cfg.train, epochs=1, save_freq=1,
+                                    val_freq=100)
+    cfg.base_exp_dir = tempfile.mkdtemp()
+    runner = Runner(cfg, None)
+    runner.cfg = cfg
+    runner.mode = "train"
+    runner.exp_dir = cfg.base_exp_dir
+    runner.train()  # writes the good epoch checkpoint
+
+    ckpt_dir = os.path.join(runner.exp_dir, "checkpoints")
+    good = latest_checkpoint(ckpt_dir)
+    assert good and "emergency" not in good
+
+    # inject the failure: a NaN loss reaches the metric flush
+    with pytest.raises(FloatingPointError):
+        runner._flush_metrics([{"loss": jnp.float32(float("nan"))}],
+                              DictAverageMeter(), runner.state, epoch=0)
+    emergency = os.path.join(ckpt_dir, "emergency.ckpt")
+    assert os.path.exists(emergency), "failure handler did not checkpoint"
+
+    # auto-resume resolves to the good checkpoint although emergency.ckpt
+    # is strictly newer by mtime
+    assert os.path.getmtime(emergency) >= os.path.getmtime(good)
+    assert latest_checkpoint(ckpt_dir) == good
+
+    # end-to-end: a fresh runner with --resume auto trains to completion
+    cfg2 = dataclasses.replace(cfg)
+    cfg2.train = dataclasses.replace(cfg.train, epochs=2)
+    runner2 = Runner(cfg2, None)
+    runner2.cfg = cfg2
+    runner2.mode = "train"
+    runner2.exp_dir = cfg.base_exp_dir
+    runner2.train(resume="auto")
+    assert int(runner2.state.step) == 4  # epoch 2 of 2 completed
+
+
 def test_train_sharded_one_epoch(runner_setup):
     """Multi-chip Runner.train path on a 2x2 virtual CPU mesh: one epoch of
     the sharded step over synthetic scenes, checkpoint written."""
