@@ -37,24 +37,13 @@ def main():
     from gens_tpu.data.synthetic import make_scene
     from gens_tpu.models.gens import GenSModel
 
-    cfg = Config()
-    # recommended inference config: bf16 volume-feature gathers (the
-    # dominant memory traffic; values within ~1e-3 of f32) — measured +15%
-    cfg.model.sdf_network.volume_dtype = "bfloat16"
-    # supercell-packed trilerp: one wide 27C-channel gather per scale
-    # instead of 8 narrow ones, packed once per scene (ops/interp.py).
-    # Numerically identical; measured 8.3k -> 12.3k rays/s (+49%)
-    cfg.model.sdf_network.packed_trilerp = True
-    # same idea in 2D for the source-view feature/RGB warps; with the fused
-    # variadic z-merge sort this measures 12.4k -> 22.9k rays/s (+85%)
-    cfg.model.color_network.packed_bilerp = True
-    cfg.model.color_network.packed_dtype = "bfloat16"
-    # bf16 SDF-MLP compute: the fused value+grad+smooth pass is activation-
-    # bandwidth-bound (PERF.md); params stay f32, outputs return f32
-    cfg.model.sdf_network.mlp_dtype = "bfloat16"
-    # bf16 blending-MLP compute (per-sample per-view IBRNet fusion is run at
-    # R*S*V points; params stay f32, blended RGB returns f32)
-    cfg.model.color_network.mlp_dtype = "bfloat16"
+    from gens_tpu.config import apply_inference_fast_paths
+
+    # recommended inference config (packed gathers + bf16 tables/MLP
+    # compute — the individual levers and their measured gains are logged
+    # in PERF.md; shared with bench_scaling.py so both harnesses time the
+    # SAME program)
+    cfg = apply_inference_fast_paths(Config())
     n_views = 3  # val-time view count (gens.conf val_dataset num_src_view=2)
     hw = (480, 640)
     n_rays = 1024

@@ -246,6 +246,26 @@ class Config:
     clean_mesh: bool = False
 
 
+def apply_inference_fast_paths(cfg: "Config") -> "Config":
+    """Enable the recommended inference-speed settings in place (the exact
+    configuration bench.py measures — shared so every throughput harness
+    benches the SAME program):
+
+    * supercell-packed trilerp + 2D bilerp (one wide gather per scale
+      instead of 8/4 narrow ones; numerically identical — PERF.md),
+    * bf16 storage for the gathered tables (element-count-bound traffic),
+    * bf16 compute in the SDF/blending MLPs (params stay f32).
+    """
+    m = cfg.model
+    m.sdf_network.volume_dtype = "bfloat16"
+    m.sdf_network.packed_trilerp = True
+    m.sdf_network.mlp_dtype = "bfloat16"
+    m.color_network.packed_bilerp = True
+    m.color_network.packed_dtype = "bfloat16"
+    m.color_network.mlp_dtype = "bfloat16"
+    return cfg
+
+
 # ---------------------------------------------------------------------------
 # dict <-> dataclass plumbing
 

@@ -35,11 +35,85 @@ def sphere_sdf(pts: np.ndarray, radius: float = 0.5) -> np.ndarray:
     return np.linalg.norm(pts, axis=-1) - radius
 
 
+def shape_spheres(shape=None, radius: float = 0.5):
+    """Normalize a shape spec to ``(centers (K, 3), radii (K,))``.
+
+    ``shape=None`` is the original single origin-centered sphere; a dict
+    ``{"centers": [...], "radii": [...]}`` describes a UNION of spheres —
+    a non-convex analytic fixture (two lobes + seam) with closed-form ray
+    tracing and exact surface-distance metrics, the "harder geometry" the
+    quality protocol scores in addition to the sphere."""
+    if shape is None:
+        return (np.zeros((1, 3), np.float32),
+                np.asarray([radius], np.float32))
+    return (np.asarray(shape["centers"], np.float32).reshape(-1, 3),
+            np.asarray(shape["radii"], np.float32).reshape(-1))
+
+
+def trace_spheres(origins: np.ndarray, dirs: np.ndarray, centers: np.ndarray,
+                  radii: np.ndarray):
+    """Nearest positive ray/union-of-spheres hit.
+
+    origins (..., 3) (broadcastable), dirs (..., 3) unit. Returns
+    ``(t (...), hit (...) bool, normals (..., 3))`` — normal of the hit
+    sphere (zero where missed)."""
+    t_best = np.full(dirs.shape[:-1], np.inf, np.float32)
+    idx_best = np.full(dirs.shape[:-1], -1, np.int32)
+    for k, (c, r) in enumerate(zip(centers, radii)):
+        oc = origins - c
+        b = np.sum(dirs * oc, axis=-1)
+        cq = np.sum(oc ** 2, axis=-1) - r ** 2
+        disc = b ** 2 - cq
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        h = (disc > 0) & (t > 0)
+        better = h & (t < t_best)
+        t_best = np.where(better, t, t_best)
+        idx_best = np.where(better, k, idx_best)
+    hit = idx_best >= 0
+    t = np.where(hit, t_best, 0.0).astype(np.float32)
+    pts = origins + dirs * t[..., None]
+    normals = np.zeros_like(dirs)
+    for k, (c, r) in enumerate(zip(centers, radii)):
+        normals = np.where((idx_best == k)[..., None], (pts - c) / r, normals)
+    return t, hit, normals.astype(np.float32)
+
+
+def shape_distance(pts: np.ndarray, centers: np.ndarray,
+                   radii: np.ndarray) -> np.ndarray:
+    """|signed distance to the union surface| at ``pts`` (exact outside the
+    union and inside a single lobe; the seam interior is never scored — mesh
+    vertices live on the surface)."""
+    d = np.min(np.stack([
+        np.linalg.norm(pts - c, axis=-1) - r
+        for c, r in zip(centers, radii)], axis=-1), axis=-1)
+    return np.abs(d)
+
+
+def shape_surface_samples(centers: np.ndarray, radii: np.ndarray, n: int,
+                          rng=None) -> np.ndarray:
+    """~n uniform samples on the union's surface: per-sphere uniform points,
+    rejecting those strictly inside another sphere."""
+    rng = rng or np.random.RandomState(0)
+    per = max(n // len(radii), 1)
+    out = []
+    for k, (c, r) in enumerate(zip(centers, radii)):
+        dirs = rng.randn(per, 3)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        pts = c + dirs * r
+        keep = np.ones(per, bool)
+        for j, (c2, r2) in enumerate(zip(centers, radii)):
+            if j != k:
+                keep &= np.linalg.norm(pts - c2, axis=-1) >= r2 - 1e-6
+        out.append(pts[keep])
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
 def render_sphere_view(c2w: np.ndarray, intr: np.ndarray, hw, radius=0.5,
                        light_dir=(0.4, 0.3, -0.85), albedo_freq=6.0,
                        albedo_phase=(0.0, 0.0), tints=(1.0, 0.8, 0.6),
-                       return_mask: bool = False):
-    """Analytic ray-traced shaded sphere image (H, W, 3) in [0, 1].
+                       return_mask: bool = False, shape=None):
+    """Analytic ray-traced shaded image (H, W, 3) in [0, 1] of a sphere or
+    a union of spheres (``shape``, see :func:`shape_spheres`).
 
     ``albedo_freq/phase`` and ``tints`` parameterize the surface texture so
     multi-scene training sees varied appearance (the generalization fixture);
@@ -52,16 +126,10 @@ def render_sphere_view(c2w: np.ndarray, intr: np.ndarray, hw, radius=0.5,
     dirs = dirs @ c2w[:3, :3].T
     origin = c2w[:3, 3]
 
-    # ray-sphere intersection
-    b = np.sum(dirs * origin, axis=-1)
-    c = np.sum(origin ** 2) - radius ** 2
-    disc = b ** 2 - c
-    hit = disc > 0
-    t = -b - np.sqrt(np.maximum(disc, 0.0))
-    hit &= t > 0
-
+    centers, radii = shape_spheres(shape, radius)
+    t, hit, normals = trace_spheres(origin, dirs, centers, radii)
     pts = origin + dirs * t[..., None]
-    normals = pts / radius
+
     light = np.asarray(light_dir, np.float32)
     light = light / np.linalg.norm(light)
     shade = np.clip(-np.sum(normals * light, axis=-1), 0.1, 1.0)
@@ -82,8 +150,9 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
                cam_dist: float = 2.0, n_rays: int = 64, seed: int = 0,
                ang0: float = 0.0, light_dir=(0.4, 0.3, -0.85),
                albedo_freq: float = 6.0, albedo_phase=(0.0, 0.0),
-               tints=(1.0, 0.8, 0.6), spread: float = 0.25):
-    """Build a full training-style input dict for a synthetic sphere scene.
+               tints=(1.0, 0.8, 0.6), spread: float = 0.25, shape=None):
+    """Build a full training-style input dict for a synthetic scene (sphere
+    by default; ``shape`` selects a union-of-spheres, see shape_spheres).
 
     The optional appearance/geometry knobs (radius, camera ring offset
     ``ang0``, light direction, albedo texture, tints) let a multi-scene
@@ -109,7 +178,7 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
         img, mask = render_sphere_view(
             c2w, intr, hw, radius, light_dir=light_dir,
             albedo_freq=albedo_freq, albedo_phase=albedo_phase, tints=tints,
-            return_mask=True)
+            return_mask=True, shape=shape)
         imgs.append(img)
         masks.append(mask)
     c2ws = np.stack(c2ws)
@@ -132,6 +201,9 @@ def make_scene(n_views: int = 3, hw=(64, 64), radius: float = 0.5,
     near = np.full((1, 1), 0.95 * (dist - 1.0), np.float32)
     far = np.full((1, 1), 1.05 * (dist + 1.0), np.float32)
 
+    # NB: the shape spec is deliberately NOT in the dict — consumers filter
+    # keys into jitted input trees; callers that need the analytic geometry
+    # re-derive it via shape_spheres(shape, radius)
     return {
         "imgs": imgs.astype(np.float32),
         "intrs": intrs.astype(np.float32),

@@ -120,6 +120,22 @@ def is_main_process() -> bool:
     return process_index() == 0
 
 
+def allreduce_host_sums(vec: np.ndarray) -> np.ndarray:
+    """Sum a small host-side numpy vector across processes (the reference's
+    metric reduction, utils/distribute.py:6-24, minus the rank-0-only
+    divide). Single-process: identity. Multi-host: a process_allgather of
+    the fixed-shape vector, then a host-side sum — cheap at scalar sizes and
+    collective-safe (every process must call it)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(vec)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(vec))).sum(axis=0)
+
+
 def make_global_mesh(n_data: int, n_view: int):
     """Build the ('data', 'view') mesh over the GLOBAL device list.
 

@@ -388,7 +388,9 @@ class Runner:
                                  f"model_{epoch:03d}.ckpt"),
                     {"epoch": epoch, "step": int(state.step),
                      "params": state.params, "opt_state": state.opt_state})
-            if main and (epoch + 1) % cfg.train.val_freq == 0:
+            # NOT main-gated: validate partitions scenes across processes
+            # and merges metrics collectively (every host must enter)
+            if (epoch + 1) % cfg.train.val_freq == 0:
                 self.validate(state.params, epoch)
             if preempt.requested_global():
                 self._preempt_save(state, epoch, complete=True)
@@ -469,13 +471,37 @@ class Runner:
         cat = {k: np.concatenate(v)[:n] for k, v in outs.items()}
         return cat
 
+    # validation metric schema (fixed so the cross-host merge below can use
+    # a fixed-shape reduction even when a host drew zero scenes)
+    VAL_METRIC_KEYS = ("psnr", "color_loss", "render_depth_loss",
+                      "sdf_depth_loss")
+
     def validate(self, params, epoch: int = 0, dataset=None,
                  extract_mesh: bool = True):
+        """Full validation pass. Multi-host: scenes are partitioned
+        round-robin across processes (each host builds/renders/exports only
+        its own scenes — the DDP-rank scene split the reference got from
+        DistributedSampler, /root/reference/runner.py:199-282) and the
+        metric sums are merged collectively, so EVERY process must call this
+        together."""
         cfg = self.cfg
         if dataset is None:
             dataset = get_dataset(cfg.val_dataset, "val", self.rng)
+        from gens_tpu.parallel.distributed import (allreduce_host_sums,
+                                                   is_main_process,
+                                                   process_count,
+                                                   process_index)
+
+        if process_count() > 1:
+            # params may be process-spanning replicated jax.Arrays from the
+            # sharded train state; pull host-local copies so each host's
+            # render stays a LOCAL computation over its own scenes
+            params = jax.tree_util.tree_map(
+                lambda x: np.asarray(x), params)
+
         avg = DictAverageMeter()
-        for idx in range(len(dataset)):
+        my_scenes = range(process_index(), len(dataset), process_count())
+        for idx in my_scenes:
             raw = dataset[idx]
             inputs = to_device(raw)
 
@@ -522,8 +548,16 @@ class Runner:
                     (np.abs(d - depth_ref) * dmask).sum() / (dmask.sum() + 1e-8))
             avg.update(scalars)
             self.logger.log("val", scalars, epoch * 1000 + idx)
-        self.logger.log("val_avg", avg.avg_data, epoch)
-        return avg.avg_data
+        # merge per-host sums: [count, sum(metric_0), ...] summed across
+        # processes gives the exact same averages as a single-host pass
+        vec = np.asarray([float(avg.count)] + [
+            avg.sum.get(k, 0.0) for k in self.VAL_METRIC_KEYS])
+        merged = allreduce_host_sums(vec)
+        out = {k: float(merged[1 + i]) / max(float(merged[0]), 1.0)
+               for i, k in enumerate(self.VAL_METRIC_KEYS)}
+        if is_main_process():
+            self.logger.log("val_avg", out, epoch)
+        return out
 
     def _save_val_images(self, raw, rend, hw, tag):
         from PIL import Image

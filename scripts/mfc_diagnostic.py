@@ -1,0 +1,183 @@
+"""MFC floor diagnostic (round-2 verdict, weak #4): the training curves show
+mfc_loss plateauing at ~0.39 while color/Eikonal fall 10-40x. Two hypotheses:
+
+  (a) texture floor — LNCC over low-texture Lambertian patches saturates:
+      even a GEOMETRICALLY PERFECT warp cannot reach 0;
+  (b) warp miscalibration — wrong scale stack / off-by-one patch grid would
+      produce the same flat curve.
+
+This script settles it on the analytic fixture, where ground-truth surface
+points and normals are available in closed form:
+
+  1. build the scene (features from a checkpoint if given, else random init);
+  2. take rays through the ref view that hit the shape, compute the EXACT
+     surface point + camera-frame normal;
+  3. run surface_patch_warp + compute_lncc on (i) the exact warp, (ii) the
+     exact warp with the normal rotated ~15 deg, (iii) the exact warp with
+     the point pushed 2 fine-voxels along the ray, (iv) a RANDOM plane;
+  4. report the four mfc values. If (i) sits at the training floor while
+     (ii)-(iv) are clearly higher, the floor is the texture limit (a), and
+     the warp path is calibrated: any geometric error would show as (ii)/(iii).
+
+Usage:  python scripts/mfc_diagnostic.py [--ckpt runs/quality_gen.ckpt]
+            [--cpu] [--out MFC_DIAG.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="runs/quality_gen.ckpt")
+    p.add_argument("--hw", type=int, default=128)
+    p.add_argument("--rays", type=int, default=512)
+    p.add_argument("--patch", type=int, default=11)
+    p.add_argument("--dims", type=int, default=64)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    from gens_tpu.data.synthetic import make_scene, shape_spheres, trace_spheres
+    from gens_tpu.losses import compute_lncc
+    from gens_tpu.models.gens import GenSModel
+    from gens_tpu.models.renderer import make_warp_feature_stack
+    from gens_tpu.ops.projection import surface_patch_warp
+    from scripts.quality_synthetic import build_config, scene_params
+
+    cfg = build_config(1, dims=args.dims)
+    model = GenSModel(cfg.model)
+
+    kw = scene_params(-1)  # the held-out scene whose curves show the floor
+    hw = (args.hw, args.hw)
+    raw = make_scene(n_views=3, hw=hw, n_rays=args.rays, seed=123,
+                     spread=0.5, **kw)
+    centers, radii = shape_spheres(kw.get("shape"), kw["radius"])
+
+    params = model.init_params(jax.random.PRNGKey(0), n_src_views=2)
+    src = "random-init"
+    if args.ckpt and os.path.exists(args.ckpt):
+        from gens_tpu.train.checkpoint import load_checkpoint
+
+        params = load_checkpoint(args.ckpt, target={
+            "epoch": 0, "step": 0, "format_version": 2, "params": params}
+        )["params"] if os.path.isdir(args.ckpt) else load_checkpoint(
+            args.ckpt)["params"]
+        src = args.ckpt
+
+    # feature stack exactly as the renderer builds it (scales 0..2 upsampled)
+    feats = jax.jit(lambda p, im: model.extract_features(p, im))(
+        params, jnp.asarray(raw["imgs"]))
+    warp_feats = jax.lax.stop_gradient(
+        make_warp_feature_stack(feats, cfg.model.render.warp_scales))
+
+    # ground-truth surface points + camera-frame normals for hitting rays
+    ro, rd = raw["rays_o"], raw["rays_d"]
+    t, hit, normals_w = trace_spheres(ro, rd, centers, radii)
+    ro, rd, t = ro[hit], rd[hit], t[hit]
+    normals_w = normals_w[hit]
+    pts = ro + rd * t[:, None]
+    rot = np.linalg.inv(raw["c2ws"][0][:3, :3])
+    normals_cam = normals_w @ rot.T
+
+    intrs = jnp.asarray(raw["intrs"])
+    c2ws = jnp.asarray(raw["c2ws"])
+
+    def mfc_of(pts_in, normals_in, images=None):
+        ref_gray, sampled_gray = surface_patch_warp(
+            jnp.asarray(pts_in), jnp.asarray(normals_in),
+            warp_feats if images is None else images,
+            intrs, c2ws, patch_size=args.patch)
+        ncc = compute_lncc(ref_gray, sampled_gray)
+        # the training metric: 0.5 * mean ncc over valid surface rays
+        # (losses.py mfc path; every ray here hits the surface by
+        # construction, so the mask is all-ones)
+        return float(0.5 * jnp.mean(ncc))
+
+    rng = np.random.RandomState(0)
+
+    def rotate_normals(n, deg):
+        ax = rng.randn(*n.shape).astype(np.float32)
+        ax -= n * np.sum(ax * n, -1, keepdims=True)
+        ax /= np.maximum(np.linalg.norm(ax, -1, keepdims=True), 1e-8)
+        a = np.deg2rad(deg)
+        return (n * np.cos(a) + ax * np.sin(a)).astype(np.float32)
+
+    voxel = 2.0 / args.dims
+    results = {
+        "feature_source": src,
+        "n_rays_hit": int(hit.sum()),
+        "config": {"hw": args.hw, "dims": args.dims, "patch": args.patch,
+                   "scene": "heldout(-1)"},
+        # (i) geometrically exact warp: the floor any training run can reach
+        "mfc_gt_warp": mfc_of(pts, normals_cam),
+        # (ii) normal off by 15 degrees
+        "mfc_normal_15deg": mfc_of(pts, rotate_normals(normals_cam, 15.0)),
+        # (iii) point pushed 2 fine-voxels along the ray
+        "mfc_depth_2voxel": mfc_of(pts + rd * 2 * voxel, normals_cam),
+        # (iv) random tangent plane
+        "mfc_random_normal": mfc_of(
+            pts, (lambda v: v / np.linalg.norm(v, axis=-1, keepdims=True))(
+                rng.randn(len(pts), 3).astype(np.float32))),
+    }
+    # calibration control on RAW RGB (textured albedo, not learned
+    # features), interior rays only (grazing patches mix in background)
+    interior = (-np.sum(normals_w * rd, -1)) > 0.6
+    ipts, ind, incam = pts[interior], rd[interior], normals_cam[interior]
+    imgs = jnp.asarray(raw["imgs"])
+    results["n_rays_interior"] = int(interior.sum())
+    results["rgb_gt_warp"] = mfc_of(ipts, incam, images=imgs)
+    results["rgb_normal_15deg"] = mfc_of(
+        ipts, rotate_normals(incam, 15.0), images=imgs)
+    results["rgb_depth_p2voxel"] = mfc_of(ipts + ind * 2 * voxel, incam,
+                                          images=imgs)
+    results["rgb_depth_m2voxel"] = mfc_of(ipts - ind * 2 * voxel, incam,
+                                          images=imgs)
+
+    # warp-calibration proof: GT-warped 3x3 RGB patches must MATCH the ref
+    # patch pixel-for-pixel (Lambertian surface: the two views see identical
+    # 3D-anchored albedo*shade). A depth/convention bug would show here as
+    # an O(texture) mismatch.
+    rg, sg = surface_patch_warp(jnp.asarray(ipts), jnp.asarray(incam), imgs,
+                                intrs, c2ws, patch_size=3)
+    rg, sg = np.asarray(rg), np.asarray(sg)
+    results["patch3_match_abs_err"] = float(np.abs(sg[0] - rg).mean())
+    results["patch3_ref_value_std"] = float(rg.std())
+
+    # the eps-clamp accounting: compute_lncc divides cross² by
+    # (ref_var*src_var + 1e-5); on low-texture Lambertian patches the
+    # variance product sits BELOW the eps, so ncc saturates near 1 even for
+    # a perfect warp — the observed training floor. Report the fraction of
+    # (ray, view, channel) entries whose variance product is sub-eps.
+    rg11, sg11 = surface_patch_warp(jnp.asarray(ipts), jnp.asarray(incam),
+                                    warp_feats, intrs, c2ws,
+                                    patch_size=args.patch)
+    r = np.transpose(np.asarray(rg11), (0, 2, 1))[:, None]   # (N,1,C,P²)
+    s = np.transpose(np.asarray(sg11), (1, 0, 3, 2))          # (N,S,C,P²)
+    n = r.shape[-1]
+    rv = (r ** 2).sum(-1) - r.sum(-1) ** 2 / n
+    sv = (s ** 2).sum(-1) - s.sum(-1) ** 2 / n
+    results["feat_var_product_p50"] = float(np.percentile(rv * sv, 50))
+    results["feat_var_product_sub_eps_frac"] = float((rv * sv < 1e-5).mean())
+    print(json.dumps(results, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

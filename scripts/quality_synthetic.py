@@ -28,16 +28,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _two_sphere_shape(rng):
+    """A random non-convex union of two overlapping spheres (harder geometry
+    than the sphere: two lobes, a concave seam, self-occlusion)."""
+    r1 = float(0.28 + 0.14 * rng.uniform())
+    r2 = float(0.20 + 0.12 * rng.uniform())
+    d = (r1 + r2) * float(0.55 + 0.25 * rng.uniform())  # overlapping
+    ax = rng.randn(3)
+    ax /= np.linalg.norm(ax)
+    c1 = -ax * d * r2 / (r1 + r2)
+    c2 = ax * d * r1 / (r1 + r2)
+    return {"centers": [c1.tolist(), c2.tolist()], "radii": [r1, r2]}
+
+
 def scene_params(i: int):
-    """Deterministic per-scene variation: radius, camera ring offset, light,
-    albedo texture, tints. Scene -1 is the HELD-OUT validation scene (inside
-    the training distribution's support, never trained on)."""
+    """Deterministic per-scene variation: geometry (sphere or two-sphere
+    union), camera ring offset, light, albedo texture, tints. Scene -1 is
+    the HELD-OUT sphere validation scene, -2 the HELD-OUT two-sphere scene
+    (both inside the training distribution's support, never trained on).
+    Odd training scenes are two-sphere unions."""
     if i == -1:
         return dict(radius=0.45, ang0=0.9, light_dir=(0.1, 0.5, -0.85),
                     albedo_freq=7.0, albedo_phase=(0.8, 1.9),
                     tints=(0.9, 0.7, 0.95))
+    if i == -2:
+        return dict(radius=0.45, ang0=2.2, light_dir=(-0.2, 0.4, -0.85),
+                    albedo_freq=8.0, albedo_phase=(2.1, 0.4),
+                    tints=(0.95, 0.8, 0.7),
+                    shape={"centers": [[-0.18, 0.0, 0.02],
+                                       [0.22, 0.05, 0.08]],
+                           "radii": [0.36, 0.27]})
     rng = np.random.RandomState(1000 + i)
-    return dict(
+    out = dict(
         radius=float(0.35 + 0.27 * rng.uniform()),
         ang0=float(rng.uniform(0, 2 * np.pi)),
         light_dir=tuple(
@@ -47,27 +69,37 @@ def scene_params(i: int):
         albedo_phase=(float(rng.uniform(0, 6)), float(rng.uniform(0, 6))),
         tints=tuple(rng.uniform(0.5, 1.0, 3)),
     )
+    if i % 2 == 1:
+        out["shape"] = _two_sphere_shape(rng)
+    return out
 
 
-def build_config(n_steps: int, packed: bool = True):
+def build_config(n_steps: int, packed: bool = True, dims: int = 64,
+                 samples: int = 32, bf16: bool = False):
     from gens_tpu.config import Config
 
     cfg = Config()
     m = cfg.model
-    m.volume.volume_dims = (64, 32, 16, 8, 4)
-    m.render.n_samples = 32
-    m.render.n_importance = 32
+    m.volume.volume_dims = tuple(max(dims >> i, 2) for i in range(5))
+    m.render.n_samples = samples
+    m.render.n_importance = samples
     m.render.n_sparse_pts = 512
     m.sdf_network.packed_trilerp = packed
     m.color_network.packed_bilerp = packed
+    if bf16:
+        m.volume.dtype = "bfloat16"
+        m.reg_network.dtype = "bfloat16"
+        m.sdf_network.volume_dtype = "bfloat16"
+        m.color_network.packed_dtype = "bfloat16"
     # LR schedule in STEP units (steps_per_epoch=1)
     cfg.train.epochs = n_steps
     cfg.train.warmup = max(n_steps // 20, 1)
     return cfg
 
 
-def mesh_metrics(verts, tris, radius, raw, label):
-    """Mask-cleaned mesh accuracy + visible-surface completeness.
+def mesh_metrics(verts, tris, scene_kw, raw, label):
+    """Mask-cleaned mesh accuracy + visible-surface completeness against the
+    analytic shape (sphere or union of spheres, exact closed-form distance).
 
     Cleaning params are rescaled to the fixture's 128px images: the
     reference's disk(11) dilation is calibrated for 1600x1200 DTU frames
@@ -75,8 +107,13 @@ def mesh_metrics(verts, tris, radius, raw, label):
     sphere's curvature, measured to double the accuracy error."""
     from scipy.spatial import cKDTree
 
+    from gens_tpu.data.synthetic import (shape_distance, shape_spheres,
+                                         shape_surface_samples)
     from gens_tpu.mesh.clean import (clean_mesh_by_mask,
                                      clean_mesh_outside_frustum)
+
+    centers, radii = shape_spheres(scene_kw.get("shape"),
+                                   scene_kw.get("radius", 0.5))
 
     out = {}
     if not len(verts):
@@ -104,12 +141,22 @@ def mesh_metrics(verts, tris, radius, raw, label):
     # camera (in-frustum and on the camera-facing side) are scored, exactly
     # like DTU only scores the observed volume.
     H, W = masks.shape[1:3]
-    pts = cverts[np.linalg.norm(cverts, axis=-1) < radius + 0.1]
+    signed = np.min(np.stack([
+        np.linalg.norm(cverts - c, axis=-1) - r
+        for c, r in zip(centers, radii)], -1), -1)
+    pts = cverts[signed < 0.1]
     out[f"{label}_verts_bbox"] = int(len(pts))
     if not len(pts):
         return out
-    rdirs = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True),
-                             1e-8)
+    # outward direction at each vertex: normal of the NEAREST lobe
+    near_k = np.argmin(np.stack([
+        np.abs(np.linalg.norm(pts - c, axis=-1) - r)
+        for c, r in zip(centers, radii)], -1), -1)
+    rdirs = np.zeros_like(pts)
+    for k, (c, r) in enumerate(zip(centers, radii)):
+        d = pts - c
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+        rdirs = np.where((near_k == k)[:, None], d, rdirs)
     obs = np.zeros(len(pts), bool)
     for v in range(c2ws.shape[0]):
         cam = c2ws[v][:3, 3]
@@ -123,20 +170,26 @@ def mesh_metrics(verts, tris, radius, raw, label):
         obs |= facing & infr
     scored = pts[obs] if obs.any() else pts
     out[f"{label}_verts_scored"] = int(obs.sum())
-    # accuracy (d2s): scored mesh vertex -> analytic sphere surface
-    d2s = np.abs(np.linalg.norm(scored, axis=-1) - radius)
+    # accuracy (d2s): scored mesh vertex -> analytic surface
+    d2s = shape_distance(scored, centers, radii)
     out[f"{label}_acc_mean"] = float(d2s.mean())
     out[f"{label}_acc_p50"] = float(np.percentile(d2s, 50))
     out[f"{label}_acc_p90"] = float(np.percentile(d2s, 90))
     # uncropped accuracy for transparency (incl. init-sphere remnant)
-    d2s_all = np.abs(np.linalg.norm(cverts, axis=-1) - radius)
+    d2s_all = shape_distance(cverts, centers, radii)
     out[f"{label}_acc_mean_uncropped"] = float(d2s_all.mean())
 
     # completeness (s2d): camera-visible GT surface samples -> mesh
     rng = np.random.RandomState(0)
-    dirs = rng.randn(20000, 3)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    pts = dirs * radius
+    pts = shape_surface_samples(centers, radii, 20000, rng)
+    near_k = np.argmin(np.stack([
+        np.abs(np.linalg.norm(pts - c, axis=-1) - r)
+        for c, r in zip(centers, radii)], -1), -1)
+    dirs = np.zeros_like(pts)
+    for k, (c, r) in enumerate(zip(centers, radii)):
+        d = pts - c
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+        dirs = np.where((near_k == k)[:, None], d, dirs)
     vis = np.zeros(len(pts), bool)
     for v in range(raw["c2ws"].shape[0]):
         c2w = np.asarray(raw["c2ws"][v])
@@ -175,10 +228,18 @@ def main():
     p.add_argument("--eval-views", type=int, default=3)
     p.add_argument("--spread", type=float, default=0.5)
     p.add_argument("--hw", type=int, default=128)
+    p.add_argument("--w", type=int, default=0,
+                   help="image width when non-square (e.g. 640 with --hw "
+                        "480 for the reference's 480x640 frames)")
     p.add_argument("--rays", type=int, default=512)
+    p.add_argument("--dims", type=int, default=64,
+                   help="finest volume-cascade resolution (reference: 256)")
+    p.add_argument("--samples", type=int, default=32,
+                   help="n_samples = n_importance (reference: 64)")
+    p.add_argument("--bf16", action="store_true")
     p.add_argument("--mesh-res", type=int, default=192)
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--out", default="QUALITY_r02.json")
+    p.add_argument("--out", default="QUALITY_r03.json")
     args = p.parse_args()
 
     import jax
@@ -195,16 +256,21 @@ def main():
     from gens_tpu.train.checkpoint import save_checkpoint
     from gens_tpu.train.step import init_train_state, make_train_step
 
-    hw = (args.hw, args.hw)
+    from gens_tpu.data.synthetic import (shape_spheres, shape_surface_samples,
+                                         trace_spheres)
+
+    hw = (args.hw, args.w or args.hw)
     results = {}
     if os.path.exists(args.out):
         # merge-in-place: running a single phase (e.g. a longer --phase b
         # retrain) must not drop the other phases' recorded evidence
         with open(args.out) as f:
             results.update(json.load(f))
-    results["config"] = {"hw": args.hw, "rays": args.rays,
+    results["config"] = {"hw": list(hw), "rays": args.rays,
                          "mesh_res": args.mesh_res,
-                         "volume_dims": [64, 32, 16, 8, 4],
+                         "samples": args.samples, "bf16": args.bf16,
+                         "volume_dims": [max(args.dims >> i, 2)
+                                         for i in range(5)],
                          "packed": True}
 
     def pregen_batches(scene_kw, n_batches, with_pseudo, seed0):
@@ -214,6 +280,7 @@ def main():
         base = make_scene(n_views=args.train_views, hw=hw, n_rays=args.rays,
                           seed=seed0, spread=args.spread, **scene_kw)
         radius = base["radius"]
+        centers, radii = shape_spheres(scene_kw.get("shape"), radius)
         batches = []
         for b in range(n_batches):
             raw = make_scene(n_views=args.train_views, hw=hw,
@@ -222,20 +289,20 @@ def main():
             inp = {k: jnp.asarray(v) for k, v in raw.items()
                    if k not in ("radius", "view_masks")}
             if with_pseudo:
+                # exact analytic depth/points stand in for the released
+                # pseudo labels (closed-form ray/union-of-spheres hits)
                 ro, rd = raw["rays_o"], raw["rays_d"]
-                bq = np.sum(rd * ro, axis=-1)
-                cq = np.sum(ro ** 2, axis=-1) - radius ** 2
-                disc = bq ** 2 - cq
-                t = -bq - np.sqrt(np.maximum(disc, 0.0))
-                hit = (disc > 0) & (t > 0)
+                t, hit, _ = trace_spheres(ro, rd, centers, radii)
                 cam_z = (rd @ np.linalg.inv(
                     raw["c2ws"][0][:3, :3]).T)[:, 2]
                 inp["pseudo_depth"] = jnp.asarray(
                     np.where(hit, t * cam_z, 0.0).astype(np.float32))
                 prng = np.random.RandomState(seed0 + b)
-                dirs = prng.randn(512, 3).astype(np.float32)
-                dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-                inp["pseudo_pts"] = jnp.asarray(dirs * radius)
+                # over-sample then tile to a FIXED 512 (rejection sampling
+                # returns a variable count; batches must share one shape)
+                pts = shape_surface_samples(centers, radii, 1200, prng)
+                reps = -(-512 // len(pts))
+                inp["pseudo_pts"] = jnp.asarray(np.tile(pts, (reps, 1))[:512])
             batches.append(inp)
         return batches, radius
 
@@ -283,9 +350,10 @@ def main():
               f"{ms_per_step:.0f} ms/step", flush=True)
         return state, curve, ms_per_step, t_compile
 
-    def eval_scene(model, params, scene_kw, tag, radius):
+    def eval_scene(model, params, scene_kw, tag, radius=None):
         """Held-out/eval protocol: one-shot scene build, full-image render,
         mesh extraction + mask cleaning + geometric error."""
+        del radius  # geometry comes from scene_kw (shape-aware metrics)
         raw_train = make_scene(n_views=args.eval_views, hw=hw, n_rays=16,
                                seed=123, spread=args.spread, **scene_kw)
         inputs = {k: jnp.asarray(v) for k, v in raw_train.items()
@@ -335,7 +403,7 @@ def main():
         # masks for cleaning come from the analytic hit masks
         raw_eval = {"masks": raw_train["view_masks"],
                     "intrs": raw_train["intrs"], "c2ws": raw_train["c2ws"]}
-        m = mesh_metrics(verts, tris, radius, raw_eval, tag)
+        m = mesh_metrics(verts, tris, scene_kw, raw_eval, tag)
         m[f"{tag}_psnr"] = float(psnr)
         return m
 
@@ -347,7 +415,8 @@ def main():
 
     model = None
     if args.phase in ("a", "all"):
-        cfg = build_config(args.steps_a)
+        cfg = build_config(args.steps_a, dims=args.dims,
+                           samples=args.samples, bf16=args.bf16)
         cfg.train.anneal_end = args.steps_a // 4
         model = GenSModel(cfg.model)
         kw = {k: v for k, v in scene_params(0).items()}
@@ -369,7 +438,8 @@ def main():
                           if not k.endswith("curve")}, indent=1), flush=True)
 
     if args.phase in ("b", "all"):
-        cfg = build_config(args.steps_b)
+        cfg = build_config(args.steps_b, dims=args.dims,
+                           samples=args.samples, bf16=args.bf16)
         cfg.train.anneal_end = args.steps_b // 8
         cfg.train.loss.pseudo_sdf_weight = 1.0
         cfg.train.loss.pseudo_depth_weight = 0.05
@@ -392,12 +462,16 @@ def main():
         results["gen_ms_per_step"] = msps
         results["gen_compile_s"] = tc
         kw_held = scene_params(-1)
-        results.update(eval_scene(model, state.params, kw_held, "heldout",
-                                  kw_held["radius"]))
+        results.update(eval_scene(model, state.params, kw_held, "heldout"))
+        flush()
+        # the HELD-OUT two-sphere scene: non-convex geometry never trained on
+        kw_held2 = scene_params(-2)
+        results.update(eval_scene(model, state.params, kw_held2,
+                                  "heldout_union"))
+        flush()
         # also score one TRAINED scene for the train/val gap
         kw0 = scene_params(0)
-        results.update(eval_scene(model, state.params, kw0, "trained",
-                                  kw0["radius"]))
+        results.update(eval_scene(model, state.params, kw0, "trained"))
         save_checkpoint("runs/quality_gen.ckpt",
                         {"epoch": 0, "step": args.steps_b,
                          "params": state.params})
@@ -418,7 +492,8 @@ def main():
 
         ckpt = load_checkpoint("runs/quality_gen.ckpt")
         params = ckpt["params"]
-        cfg = build_config(args.steps_ft)
+        cfg = build_config(args.steps_ft, dims=args.dims,
+                           samples=args.samples, bf16=args.bf16)
         cfg.train.anneal_end = max(args.steps_ft // 8, 1)
         cfg.train.warmup = 0
         cfg.train.loss.sparse_weight = 0.0
@@ -454,7 +529,7 @@ def main():
                                            block=64)
             raw_eval = {"masks": base["view_masks"], "intrs": base["intrs"],
                         "c2ws": base["c2ws"]}
-            return mesh_metrics(verts, tris, radius, raw_eval, tag)
+            return mesh_metrics(verts, tris, kw, raw_eval, tag)
 
         results.update(ft_mesh_metrics(ft_params["volumes"], "ft_init"))
         flush()
@@ -481,14 +556,15 @@ def main():
             rays_d = (d @ c2w[:3, :3].T).astype(np.float32)
             rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
             color = base["imgs"][vid][py.astype(int), px.astype(int)]
-            dirs = prng.randn(512, 3).astype(np.float32)
-            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            cc, rr = shape_spheres(kw.get("shape"), radius)
+            spts = shape_surface_samples(cc, rr, 1200, prng)
+            spts = np.tile(spts, (-(-512 // len(spts)), 1))[:512]
             return {k: jnp.asarray(v) for k, v in dict(
                 imgs=base["imgs"][order], intrs=base["intrs"][order],
                 c2ws=base["c2ws"][order], view_ids=order.astype(np.int32),
                 rays_o=np.ascontiguousarray(rays_o), rays_d=rays_d,
                 color=color.astype(np.float32), near=near, far=far,
-                pseudo_pts=dirs * radius).items()}
+                pseudo_pts=spts).items()}
 
         batches = [ft_batch(b) for b in range(n_batches)]
 
@@ -548,22 +624,24 @@ def main():
 
         if os.path.exists("runs/quality_overfit.ckpt"):
             ckpt = load_checkpoint("runs/quality_overfit.ckpt")
-            cfg = build_config(args.steps_a)
+            cfg = build_config(args.steps_a, dims=args.dims,
+                               samples=args.samples, bf16=args.bf16)
             model = GenSModel(cfg.model)
             kw = scene_params(0)
-            results.update(eval_scene(model, ckpt["params"], kw, "overfit",
-                                      kw["radius"]))
+            results.update(eval_scene(model, ckpt["params"], kw, "overfit"))
             flush()
         if os.path.exists("runs/quality_gen.ckpt"):
             ckpt = load_checkpoint("runs/quality_gen.ckpt")
-            cfg = build_config(args.steps_b)
+            cfg = build_config(args.steps_b, dims=args.dims,
+                               samples=args.samples, bf16=args.bf16)
             model = GenSModel(cfg.model)
             kw_held = scene_params(-1)
             results.update(eval_scene(model, ckpt["params"], kw_held,
-                                      "heldout", kw_held["radius"]))
+                                      "heldout"))
+            results.update(eval_scene(model, ckpt["params"],
+                                      scene_params(-2), "heldout_union"))
             kw0 = scene_params(0)
-            results.update(eval_scene(model, ckpt["params"], kw0, "trained",
-                                      kw0["radius"]))
+            results.update(eval_scene(model, ckpt["params"], kw0, "trained"))
             flush()
 
     flush()

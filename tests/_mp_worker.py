@@ -88,6 +88,28 @@ def main():
            "color_loss": float(metrics["color_loss"]),
            "eikonal_loss": float(metrics["eikonal_loss"]),
            "sdf_param_digest": digest}
+
+    # -- multi-host validation: each process renders only ITS scenes
+    # (round-robin partition) and the merged metrics agree across hosts
+    # (the DDP-rank scene split of reference runner.py:199-282)
+    import glob
+
+    from gens_tpu.data.synthetic import SyntheticDataset
+    from gens_tpu.runner import Runner
+
+    cfg.mesh_resolution = 16
+    cfg.base_exp_dir = outfile + f".val_rank{rank}"
+    cfg.mode = "val"
+    runner = Runner(cfg)
+    dataset = SyntheticDataset(n_scenes=2, hw=(64, 64), val_res_level=8,
+                               mode="val")
+    val = runner.validate(state.params, epoch=0, dataset=dataset)
+    rendered = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(runner.exp_dir, "val_img", "*.png")))
+    out["val_psnr"] = float(val["psnr"])
+    out["val_color_loss"] = float(val["color_loss"])
+    out["val_rendered"] = rendered
+
     with open(outfile, "w") as f:
         json.dump(out, f)
     print("worker", rank, "done", flush=True)

@@ -58,6 +58,16 @@ def test_two_process_training_step(tmp_path):
         np.testing.assert_allclose(results[0][k], results[1][k], rtol=1e-6), k
     assert np.isfinite(results[0]["loss"])
 
+    # multi-host validation: scenes partitioned (each rank rendered exactly
+    # one of the two, disjointly) and merged metrics agree on every host
+    r0, r1 = results[0]["val_rendered"], results[1]["val_rendered"]
+    assert len(r0) == 1 and len(r1) == 1, (r0, r1)
+    assert set(r0).isdisjoint(r1), (r0, r1)
+    assert "sphere0" in r0[0] and "sphere1" in r1[0]
+    for k in ("val_psnr", "val_color_loss"):
+        np.testing.assert_allclose(results[0][k], results[1][k], rtol=1e-6)
+    assert np.isfinite(results[0]["val_psnr"])
+
     # and the distribution is lossless: same step on ONE process with a
     # 4-device virtual mesh gives the same loss
     import jax
