@@ -100,6 +100,12 @@ class SDFNetConfig:
     # TPU gathers are addressing-bound, so the wide row is nearly free.
     # Costs ~27/8 x the cascade in HBM for the packed tables.
     packed_trilerp: bool = False
+    # inference fast path: ALL cascade scales + the voxel mask in ONE fused
+    # supercell gather per lookup site (ops/interp.py FusedCascade). TPU
+    # gathers ramp up with population size (scripts/gather_probe.py), so one
+    # 6N-row gather beats 5 per-scale gathers + a mask gather of N rows
+    # each. Gradient-free/inference only; training keeps per-scale tables.
+    fused_packed: bool = False
     # compute dtype of the SDF MLP ("float32" | "bfloat16"). Params are
     # always stored f32; bfloat16 casts the PE'd activations and the
     # weight-normed weights at matmul time and returns f32 outputs. The
@@ -121,6 +127,10 @@ class BlendingNetConfig:
     # wide 9C-channel gather per (view, scale) instead of 4 narrow ones,
     # packed once per scene (ops/interp.py pack_supercell2d)
     packed_bilerp: bool = False
+    # inference fast path: all feature scales + RGB in ONE fused per-view
+    # gather for the source-view warps (FusedImagePyramid; see
+    # sdf_network.fused_packed for the rationale)
+    fused_pyramid: bool = False
     # storage dtype for the packed 2D tables ("float32" | "bfloat16");
     # bfloat16 halves the gathered bytes (mirrors sdf_network.volume_dtype)
     packed_dtype: str = "float32"
@@ -259,8 +269,10 @@ def apply_inference_fast_paths(cfg: "Config") -> "Config":
     m = cfg.model
     m.sdf_network.volume_dtype = "bfloat16"
     m.sdf_network.packed_trilerp = True
+    m.sdf_network.fused_packed = True
     m.sdf_network.mlp_dtype = "bfloat16"
     m.color_network.packed_bilerp = True
+    m.color_network.fused_pyramid = True
     m.color_network.packed_dtype = "bfloat16"
     m.color_network.mlp_dtype = "bfloat16"
     return cfg

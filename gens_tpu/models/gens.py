@@ -175,27 +175,38 @@ class GenSModel:
         volumes, mask_vols = self.build_volumes(
             params, features, intrs, c2ws, axis_name, view_valid)
         from gens_tpu.ops.interp import (combine_mask_cascade,
+                                         pack_cascade_fused,
                                          pack_cascade_supercell,
+                                         pack_image_pyramid_fused,
                                          pack_supercell2d)
 
-        packed = None
-        if self.cfg.sdf_network.packed_trilerp:
+        mask_any = combine_mask_cascade(mask_vols)
+        sdt = (jnp.bfloat16
+               if self.cfg.sdf_network.volume_dtype == "bfloat16" else None)
+        packed = fused = None
+        if self.cfg.sdf_network.fused_packed:
+            # ONE gather buffer for all scales + the mask volume
+            # (inference/no-grad paths); supersedes the per-scale tables
+            fused = pack_cascade_fused(volumes, mask_any=mask_any, dtype=sdt)
+        elif self.cfg.sdf_network.packed_trilerp:
             # pack once per scene; every SDF lookup (sampling rounds, render
             # core, derivatives) then uses one wide gather per scale
-            packed = pack_cascade_supercell(
-                volumes,
-                dtype=(jnp.bfloat16
-                       if self.cfg.sdf_network.volume_dtype == "bfloat16"
-                       else None))
+            packed = pack_cascade_supercell(volumes, dtype=sdt)
         packed_feats = packed_imgs = packed_warp = packed_match_warp = None
+        fused_pyr = None
         if self.cfg.color_network.packed_bilerp:
             from gens_tpu.models.renderer import make_warp_feature_stack
 
             pdt = (jnp.bfloat16
                    if self.cfg.color_network.packed_dtype == "bfloat16"
                    else None)
-            packed_feats = [pack_supercell2d(f, dtype=pdt) for f in features]
-            packed_imgs = pack_supercell2d(imgs, dtype=pdt)
+            if self.cfg.color_network.fused_pyramid:
+                fused_pyr = pack_image_pyramid_fused(features, imgs,
+                                                     dtype=pdt)
+            else:
+                packed_feats = [pack_supercell2d(f, dtype=pdt)
+                                for f in features]
+                packed_imgs = pack_supercell2d(imgs, dtype=pdt)
             # MFC warp stacks are detached even in training
             # (implicit_surface.py:313-326)
             n_warp = self.cfg.render.warp_scales
@@ -206,9 +217,10 @@ class GenSModel:
         return Scene(
             volumes=volumes, mask_volumes=mask_vols, features=features,
             match_features=match_features, imgs=imgs, intrs=intrs, c2ws=c2ws,
-            mask_any=combine_mask_cascade(mask_vols), packed_volumes=packed,
+            mask_any=mask_any, packed_volumes=packed,
             packed_features=packed_feats, packed_imgs=packed_imgs,
-            packed_warp=packed_warp, packed_match_warp=packed_match_warp)
+            packed_warp=packed_warp, packed_match_warp=packed_match_warp,
+            fused_cascade=fused, fused_pyramid=fused_pyr)
 
     # -- forward -----------------------------------------------------------
 

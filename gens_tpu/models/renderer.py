@@ -65,10 +65,19 @@ class Scene:
     # these are safe on every path
     packed_warp: Any = None
     packed_match_warp: Any = None
+    # fused single-gather tables (inference fast path, gather_probe.py:
+    # one big gather beats 6 small ones): all cascade scales + the mask
+    # volume in one buffer (FusedCascade), and all feature scales + RGB in
+    # one per-view buffer (FusedImagePyramid)
+    fused_cascade: Any = None
+    fused_pyramid: Any = None
 
 
 def scene_sdf_volumes(scene: "Scene"):
-    """The cascade representation the SDF net should sample from."""
+    """The cascade representation the SDF net should sample from
+    (gradient-free paths)."""
+    if scene.fused_cascade is not None:
+        return scene.fused_cascade
     return (scene.packed_volumes if scene.packed_volumes is not None
             else scene.volumes)
 
@@ -146,6 +155,30 @@ class Renderer:
             m = lookup_mask(mask_any, pts)
             return jnp.where(m > 0, raw(pts), SDF_SENTINEL)
         return f
+
+    def fused_masked_sdf_fn(self, params, fc):
+        """(sdf with out-of-volume sentinel, voxel mask) — mask and cascade
+        features ride in ONE fused gather (FusedCascade inference path)."""
+
+        def f(pts):
+            sdf, m = self.sdf.apply(params["sdf"], pts, fc,
+                                    method=SDFNetwork.sdf_and_mask)
+            return jnp.where(m > 0, sdf, SDF_SENTINEL), m
+
+        return f
+
+    def sdf_value_grad_masked(self, params, fc, pts):
+        """Fused (full_output, gradients, voxel_mask): the inference render
+        core's value+grad pass with the mask probe folded into the same
+        gather (one op instead of value-gather + mask-gather)."""
+
+        def full_fn(p):
+            return self.sdf.apply(params["sdf"], p, fc, True)
+
+        out, vjp, mask = jax.vjp(full_fn, pts, has_aux=True)
+        ct = jnp.zeros_like(out).at[:, 0].set(1.0)
+        (gradients,) = vjp(ct)
+        return out, gradients, mask
 
     def sdf_gradients(self, params, volumes, pts):
         """(gradients, smooth) at pts (sdf_network.py:131-153).
@@ -237,13 +270,20 @@ class Renderer:
         pts_flat = pts.reshape(-1, 3)
         dirs_flat = dirs.reshape(-1, 3)
 
-        voxel_mask = lookup_mask(mask_any, pts_flat)  # (R*S,)
-
+        fused = (not train and scene.fused_cascade is not None
+                 and scene.fused_cascade.mask_offset is not None)
         if train:
+            voxel_mask = lookup_mask(mask_any, pts_flat)  # (R*S,)
             sdf_out, gradients, smooth = self.sdf_value_grad_smooth(
                 params, sdf_vols, pts_flat)
             smooth = smooth * voxel_mask[:, None]
+        elif fused:
+            # mask probe rides in the same gather as the cascade features
+            sdf_out, gradients, voxel_mask = self.sdf_value_grad_masked(
+                params, scene.fused_cascade, pts_flat)
+            smooth = jnp.zeros_like(gradients)
         else:
+            voxel_mask = lookup_mask(mask_any, pts_flat)  # (R*S,)
             sdf_out, gradients = self.sdf_value_grad(
                 params, sdf_vols, pts_flat)
             smooth = jnp.zeros_like(gradients)
@@ -261,10 +301,16 @@ class Renderer:
             valid_mask = jnp.ones((R, 1), bool)
         else:
             # -- source-view color blending (implicit_surface.py:194-204)
-            rgb_feat, ray_diff, view_mask = lookup_feature(
-                pts_flat, scene.imgs, scene.intrs, scene.c2ws, scene.features,
-                packed_features=scene.packed_features,
-                packed_imgs=scene.packed_imgs, diff=train)
+            if not train and scene.fused_pyramid is not None:
+                from gens_tpu.ops.projection import lookup_feature_fused
+
+                rgb_feat, ray_diff, view_mask = lookup_feature_fused(
+                    pts_flat, scene.fused_pyramid, scene.intrs, scene.c2ws)
+            else:
+                rgb_feat, ray_diff, view_mask = lookup_feature(
+                    pts_flat, scene.imgs, scene.intrs, scene.c2ws,
+                    scene.features, packed_features=scene.packed_features,
+                    packed_imgs=scene.packed_imgs, diff=train)
             sampled_color = self.blending.apply(
                 params["blending"], rgb_feat, ray_diff, view_mask)
             sampled_color = sampled_color * voxel_mask[:, None]
@@ -459,13 +505,25 @@ class Renderer:
         # (6.6k vs 8.3k rays/s — the packed single-gather loses to XLA's
         # per-scale gathers at render point counts); it stays on the dense
         # grid-extraction path only
-        sdf_fn = self.sdf_fn(params, scene_sdf_volumes(scene))
+        vols = scene_sdf_volumes(scene)
+        masked_sdf = None
+        if (scene.fused_cascade is not None
+                and scene.fused_cascade.mask_offset is not None):
+            # sampling is no-grad on every path, so the fused single-gather
+            # (sdf + mask in one op) is safe in training too
+            fused_fn = self.fused_masked_sdf_fn(params, scene.fused_cascade)
+
+            def masked_sdf(p):
+                s, m = fused_fn(p)
+                return jax.lax.stop_gradient(s), jax.lax.stop_gradient(m)
+
+        sdf_fn = self.sdf_fn(params, vols)
         z_vals = hierarchical_sample(
             rays_o, rays_d, near, far,
             lambda p: jax.lax.stop_gradient(sdf_fn(p)),
             jax.lax.stop_gradient(scene_mask_any(scene)),
             cfg.n_samples, cfg.n_importance, cfg.up_sample_steps,
-            perturb_key=perturb_key,
+            perturb_key=perturb_key, masked_sdf=masked_sdf,
         )
 
         return self.render_core(

@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from gens_tpu.config import SDFNetConfig
 from gens_tpu.models.embedder import positional_encoding, positional_encoding_dim
-from gens_tpu.ops.interp import (DiffPackedCascade, PackedVolume,
+from gens_tpu.ops.interp import (DiffPackedCascade, FusedCascade,
+                                 PackedVolume, lookup_cascade_fused,
                                  lookup_volume_cascade,
                                  lookup_volume_cascade_packed,
                                  lookup_volume_cascade_packed_diff,
@@ -149,10 +150,26 @@ class SDFNetwork(nn.Module):
 
         return init
 
-    def __call__(self, pts: jnp.ndarray, volumes: Sequence[jnp.ndarray]) -> jnp.ndarray:
-        """pts (N, 3) -> (N, d_out): [sdf, latent...]."""
+    def __call__(self, pts: jnp.ndarray, volumes: Sequence[jnp.ndarray],
+                 with_mask: bool = False) -> jnp.ndarray:
+        """pts (N, 3) -> (N, d_out): [sdf, latent...].
+
+        ``with_mask=True`` (requires a :class:`FusedCascade` with a mask
+        section) additionally returns the nearest-neighbour voxel mask (N,)
+        riding in the SAME gather as the cascade features — the render
+        core's per-point mask probe for free.
+        """
         c = self.cfg
-        if isinstance(volumes, DiffPackedCascade):
+        mask = None
+        if isinstance(volumes, FusedCascade):
+            # fused inference path: one gather for all scales (+ mask)
+            if with_mask:
+                feats, mask = lookup_cascade_fused(volumes, pts,
+                                                   with_mask=True)
+            else:
+                feats = lookup_cascade_fused(volumes, pts)
+            feats = feats.astype(jnp.float32)
+        elif isinstance(volumes, DiffPackedCascade):
             # training fast path: forward reads the packed tables (one wide
             # gather per scale), gradients scatter into the RAW volumes —
             # the pack conv appears in no backward (interp.py packed-diff)
@@ -214,10 +231,20 @@ class SDFNetwork(nn.Module):
             if l < num_layers - 2:
                 x = _softplus100(x)
         x = x.astype(jnp.float32)
-        return jnp.concatenate([x[..., :1] / c.scale, x[..., 1:]], axis=-1)
+        out = jnp.concatenate([x[..., :1] / c.scale, x[..., 1:]], axis=-1)
+        if with_mask:
+            assert mask is not None, \
+                "with_mask requires a FusedCascade with a mask section"
+            return out, mask
+        return out
 
     def sdf(self, pts, volumes):
         return self(pts, volumes)[..., 0]
+
+    def sdf_and_mask(self, pts, volumes):
+        """(sdf (N,), mask (N,)) from one fused gather (FusedCascade only)."""
+        out, mask = self(pts, volumes, with_mask=True)
+        return out[..., 0], mask
 
 
 def sdf_with_gradients(module: SDFNetwork, params, pts: jnp.ndarray,

@@ -454,6 +454,82 @@ def bilerp_supercell(table: jnp.ndarray, dims: Tuple[int, int],
     return jnp.dot(rows.astype(dt) * w9c, S, precision=hi)  # (N, C)
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["table"],
+                   meta_fields=["dims", "offsets", "channels", "rgb_scale"])
+@dataclasses.dataclass(frozen=True)
+class FusedImagePyramid:
+    """Every feature scale's 2D supercell table (and optionally the RGB
+    image's, padded to the same width) stacked per view into one gather
+    buffer — the 2D analog of :class:`FusedCascade` (one gather for the whole
+    source-view warp instead of one per scale + one for RGB).
+
+    table: (V, sum_i Sh_i*Sw_i [+ Sh_0*Sw_0], 9*C);
+    dims[i] / offsets[i]: per-section image dims and row offsets. Section
+    order: scales fine-to-coarse, then (optionally) RGB. channels[i]: the
+    section's true channel count (RGB rows are zero-padded 27 -> 9C).
+    rgb_scale: index of the scale whose dims the RGB section shares (0), or
+    -1 when no RGB section.
+    """
+
+    table: jnp.ndarray
+    dims: Tuple[Tuple[int, int], ...]
+    offsets: Tuple[int, ...]
+    channels: Tuple[int, ...]
+    rgb_scale: int
+
+
+def pack_image_pyramid_fused(features: Sequence[jnp.ndarray],
+                             imgs: Optional[jnp.ndarray] = None,
+                             dtype=None) -> FusedImagePyramid:
+    """Pack per-view feature pyramids (+ RGB) for
+    :func:`~gens_tpu.ops.projection.lookup_feature_fused`."""
+    C = features[0].shape[-1]
+    assert all(f.shape[-1] == C for f in features)
+    tables, dims, offsets, channels = [], [], [], []
+    off = 0
+    for f in features:
+        p = pack_supercell2d(f, dtype=dtype)
+        tables.append(p.table)
+        dims.append(p.dims)
+        offsets.append(off)
+        channels.append(C)
+        off += p.table.shape[1]
+    rgb_scale = -1
+    if imgs is not None:
+        Ci = imgs.shape[-1]
+        assert Ci <= C, (Ci, C)
+        p = pack_supercell2d(imgs, dtype=dtype)
+        assert p.dims == dims[0], (p.dims, dims[0])
+        # rows are (group, channel)-interleaved: pad each 9-group's channel
+        # block from Ci to C so the C-grouped weight contraction stays valid
+        V, S, _ = p.table.shape
+        t = p.table.reshape(V, S, 9, Ci)
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, C - Ci))).reshape(
+            V, S, 9 * C)
+        tables.append(t)
+        dims.append(p.dims)
+        offsets.append(off)
+        channels.append(imgs.shape[-1])
+        rgb_scale = 0
+        off += t.shape[1]
+    return FusedImagePyramid(jnp.concatenate(tables, axis=1), tuple(dims),
+                             tuple(offsets), tuple(channels), rgb_scale)
+
+
+def bilerp_fused_rows(rows: jnp.ndarray, dims: Tuple[int, int],
+                      xy: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Weight contraction of pre-gathered 9C supercell rows for queries
+    ``xy`` (the gather half of :func:`bilerp_supercell`, amortized by the
+    caller's fused gather). Returns (N, channels)."""
+    C = rows.shape[-1] // 9
+    idx, (ox, oy), (wx1, wy1), ok = _sc_prepare2(dims, xy)
+    dt = wx1.dtype
+    uy = _axis_u(oy, wy1, dt) * ok.astype(dt)[:, None]
+    ux = _axis_u(ox, wx1, dt)
+    return _sc_contract2(rows, ux, uy, C)[:, :channels]
+
+
 # -- differentiable packed lookups (training fast path) ----------------------
 #
 # The supercell tables above are built by a patch-extraction convolution whose
@@ -927,6 +1003,135 @@ def bilerp_packed_diff(image: jnp.ndarray, table: jnp.ndarray,
     image-cotangent scatters directly into the raw image layout (2D analog
     of :func:`trilerp_packed_diff`). ``xy`` in pixel coordinates."""
     return _pd2_value(dims, image, jax.lax.stop_gradient(table), xy)
+
+
+# -- fused supercell cascade (one gather for all scales + mask) --------------
+#
+# Round-3 probe data (scripts/gather_probe*.py, GATHER_PROBE.md): TPU gather
+# throughput improves sharply with population size (bf16 108-ch rows: ~40
+# rows/us at 131k rows vs ~313 rows/us at 4M), so the render core's many
+# SEPARATE per-scale/per-mask gathers of ~131k rows each waste most of their
+# time on per-op ramp-up. The fused cascade concatenates every scale's
+# supercell table (all rows are 27C wide) plus a 27-channel-padded mask table
+# into ONE buffer, so a cascade lookup (and optionally the nearest-neighbour
+# mask probe) is ONE gather of (n_scales [+1]) * N rows instead of 6 ops.
+# Numerically identical to trilerp_supercell per scale / nearest3d for the
+# mask (same rows, same f32 weight contractions).
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["table"],
+                   meta_fields=["dims", "offsets", "mask_offset"])
+@dataclasses.dataclass(frozen=True)
+class FusedCascade:
+    """All cascade scales' supercell tables (and optionally the combined
+    finest-resolution mask volume) stacked into one gather buffer.
+
+    table: (sum_i Sx_i*Sy_i*Sz_i [+ Sx_0*Sy_0*Sz_0], 27*C);
+    dims[i]: original (X, Y, Z) of scale i; offsets[i]: row offset of scale
+    i's section; mask_offset: row offset of the mask section (addressed with
+    scale-0 supercell indices), or None.
+    """
+
+    table: jnp.ndarray
+    dims: Tuple[Tuple[int, int, int], ...]
+    offsets: Tuple[int, ...]
+    mask_offset: Optional[int]
+
+
+def pack_cascade_fused(volumes: Sequence[jnp.ndarray],
+                       mask_any: Optional[jnp.ndarray] = None,
+                       dtype=None) -> FusedCascade:
+    """Pack a same-channel cascade (and optionally the pre-OR'd finest mask
+    volume from :func:`combine_mask_cascade`) for :func:`lookup_cascade_fused`.
+
+    ``mask_any`` must have scale-0's spatial dims. Like the per-scale packs
+    this is done ONCE per scene.
+    """
+    C = volumes[0].shape[-1]
+    assert all(v.shape[-1] == C for v in volumes)
+    tables, dims, offsets = [], [], []
+    off = 0
+    for v in volumes:
+        if dtype is not None:
+            v = v.astype(dtype)
+        t, d = pack_supercell(v)
+        tables.append(t)
+        dims.append(d)
+        offsets.append(off)
+        off += t.shape[0]
+    mask_offset = None
+    if mask_any is not None:
+        assert mask_any.shape == dims[0], (mask_any.shape, dims[0])
+        mt, md = pack_supercell(
+            mask_any[..., None].astype(tables[0].dtype))  # (S0, 27)
+        mt = jnp.pad(mt, ((0, 0), (0, 27 * C - 27)))
+        tables.append(mt)
+        mask_offset = off
+        off += mt.shape[0]
+    return FusedCascade(jnp.concatenate(tables, axis=0), tuple(dims),
+                        tuple(offsets), mask_offset)
+
+
+def _axis_delta(d, dt):
+    """One-hot 3-vector at slot ``d`` (0..2) — the nearest-corner selector."""
+    iota = jnp.arange(3, dtype=jnp.int32)[None, :]
+    return (iota == d[:, None]).astype(dt)
+
+
+def lookup_cascade_fused(fc: FusedCascade, pts: jnp.ndarray,
+                         with_mask: bool = False):
+    """Cascade trilerp (+ optional nearest-neighbour mask) through ONE gather.
+
+    Returns ``feats (N, n_scales*C)`` and, if ``with_mask``, also
+    ``mask (N,)`` float 0/1 — numerically identical to
+    ``lookup_volume_cascade_supercell`` + ``nearest3d`` on the mask volume.
+    """
+    C = fc.table.shape[-1] // 27
+    dt = pts.dtype
+    idx_all = []
+    contract_args = []
+    for dims_i, off in zip(fc.dims, fc.offsets):
+        idx, (ox, oy, oz), (wx1, wy1, wz1), ok = _sc_prepare3(dims_i, pts)
+        idx_all.append(off + idx)
+        ux = _axis_u(ox, wx1, dt) * ok.astype(dt)[:, None]
+        uy = _axis_u(oy, wy1, dt)
+        uz = _axis_u(oz, wz1, dt)
+        contract_args.append((ux, uy, uz))
+
+    if with_mask:
+        assert fc.mask_offset is not None
+        X, Y, Z = fc.dims[0]
+        idx0, (ox, oy, oz), _, ok0 = _sc_prepare3(fc.dims[0], pts)
+        # nearest-corner offsets within the 3^3 block: round() in padded
+        # index space relative to the block base (matches nearest3d's
+        # jnp.round semantics exactly, including round-half-to-even)
+        x = _unnormalize(pts[..., 0], X)
+        y = _unnormalize(pts[..., 1], Y)
+        z = _unnormalize(pts[..., 2], Z)
+        x0 = jnp.floor(jax.lax.stop_gradient(x)).astype(jnp.int32)
+        y0 = jnp.floor(jax.lax.stop_gradient(y)).astype(jnp.int32)
+        z0 = jnp.floor(jax.lax.stop_gradient(z)).astype(jnp.int32)
+        rx = jnp.round(jax.lax.stop_gradient(x)).astype(jnp.int32) - x0
+        ry = jnp.round(jax.lax.stop_gradient(y)).astype(jnp.int32) - y0
+        rz = jnp.round(jax.lax.stop_gradient(z)).astype(jnp.int32) - z0
+        dx = _axis_delta(ox + rx, dt) * ok0.astype(dt)[:, None]
+        dy = _axis_delta(oy + ry, dt)
+        dz = _axis_delta(oz + rz, dt)
+        idx_all.append(fc.mask_offset + idx0)
+
+    K = len(idx_all)
+    N = pts.shape[0]
+    idx = jnp.stack(idx_all, axis=0).reshape(-1)
+    rows = jnp.take(fc.table, idx, axis=0).reshape(K, N, 27 * C)  # ONE gather
+
+    feats = jnp.concatenate(
+        [_sc_contract3(rows[i], ux, uy, uz, C)
+         for i, (ux, uy, uz) in enumerate(contract_args)], axis=-1)
+    if not with_mask:
+        return feats
+    mask = _sc_contract3(rows[len(fc.dims), :, :27], dx, dy, dz, 1)[:, 0]
+    return feats, (jax.lax.stop_gradient(mask) > 0).astype(jnp.float32)
 
 
 def pack_cascade(volumes: Sequence[jnp.ndarray]):

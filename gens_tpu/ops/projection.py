@@ -156,6 +156,54 @@ def lookup_feature(pts: jnp.ndarray, imgs: jnp.ndarray, intrs: jnp.ndarray,
     return rgb_feat, ray_diff, mask
 
 
+def lookup_feature_fused(pts: jnp.ndarray, fp, intrs: jnp.ndarray,
+                         c2ws: jnp.ndarray):
+    """Inference fast path for :func:`lookup_feature`: ALL scales' feature
+    warps + the RGB warp go through ONE gather per view batch (a
+    :class:`~gens_tpu.ops.interp.FusedImagePyramid` packed once per scene)
+    instead of one gather per (scale) + one for RGB — TPU gathers ramp up
+    with population size (scripts/gather_probe.py), so 6 small ops lose to 1
+    big one. Numerically identical to the packed per-scale path.
+
+    Returns ``rgb_feat (N, S, 3 + n_scales*C)``, ``ray_diff (N, S, 4)``,
+    ``mask (N, S)`` — same contract as :func:`lookup_feature`.
+    """
+    from gens_tpu.ops.interp import _sc_prepare2, bilerp_fused_rows
+
+    src_intrs = intrs[1:]
+    src_c2ws = c2ws[1:]
+    ray_diff = compute_ray_diff(pts, c2ws[0], src_c2ws)
+    has_rgb = fp.rgb_scale >= 0
+    n_scales = len(fp.dims) - (1 if has_rgb else 0)
+    N = pts.shape[0]
+
+    def per_view(table_v, intr_v, c2w_v):
+        idxs, xys, masks = [], [], []
+        for i in range(n_scales):
+            hw = fp.dims[i]
+            xy, m = project_points(pts, scale_intrinsics(intr_v, i), c2w_v, hw)
+            idx, _, _, _ = _sc_prepare2(hw, xy)
+            idxs.append(fp.offsets[i] + idx)
+            xys.append(xy)
+            masks.append(m)
+        if has_rgb:
+            base = idxs[fp.rgb_scale] - fp.offsets[fp.rgb_scale]
+            idxs.append(fp.offsets[n_scales] + base)
+        idx = jnp.stack(idxs, axis=0).reshape(-1)
+        rows = jnp.take(table_v, idx, axis=0).reshape(
+            len(idxs), N, table_v.shape[-1])  # ONE gather per view batch
+        feats = [bilerp_fused_rows(rows[i], fp.dims[i], xys[i],
+                                   fp.channels[i]) for i in range(n_scales)]
+        rgb = (bilerp_fused_rows(rows[n_scales], fp.dims[fp.rgb_scale],
+                                 xys[fp.rgb_scale], fp.channels[n_scales])
+               if has_rgb else None)
+        parts = ([rgb] if rgb is not None else []) + feats
+        return jnp.concatenate(parts, axis=-1), jnp.stack(masks, 0).all(0)
+
+    vals, mask = jax.vmap(per_view)(fp.table[1:], src_intrs, src_c2ws)
+    return jnp.transpose(vals, (1, 0, 2)), ray_diff, jnp.transpose(mask)
+
+
 def _homogeneous(xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
 

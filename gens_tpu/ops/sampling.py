@@ -133,6 +133,7 @@ def hierarchical_sample(
     n_importance: int,
     up_sample_steps: int,
     perturb_key=None,
+    masked_sdf=None,
 ) -> jnp.ndarray:
     """Full NeuS sampling: stratified init + ``up_sample_steps`` rounds of
     importance sampling with inv_s = 64·2^i (reference
@@ -154,10 +155,11 @@ def hierarchical_sample(
     if n_importance <= 0:
         return z_vals
 
-    def masked_sdf(pts_flat):
-        sdf = sdf_fn(pts_flat)
-        m = lookup_mask(mask_any, pts_flat)
-        return jnp.where(m > 0, sdf, SDF_SENTINEL), m
+    if masked_sdf is None:
+        def masked_sdf(pts_flat):
+            sdf = sdf_fn(pts_flat)
+            m = lookup_mask(mask_any, pts_flat)
+            return jnp.where(m > 0, sdf, SDF_SENTINEL), m
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     sdf, vmask = masked_sdf(pts.reshape(-1, 3))
