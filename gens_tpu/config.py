@@ -46,10 +46,22 @@ class VolumeConfig:
     # False: plain bilerp. True / "diff": packed forward, cotangents scatter
     # into the raw feature maps (bilerp_packed_diff). "table": differentiate
     # through the supercell table — 4x fewer, 9x wider scatter rows, then
-    # the pack conv's transpose (a dense conv) finishes the job. Default
-    # "table": measured 3388 -> 715 ms/step at 128³ full scale on v5e
-    # (TRAINBENCH_r02; exactness vs plain pinned in tests/test_volume.py).
+    # the pack conv's transpose (a dense conv) finishes the job. "table"
+    # measured 3388 -> 710 ms/step at 128³ full scale on v5e (TRAINBENCH;
+    # exactness vs plain pinned in tests/test_volume.py). "table_bf16":
+    # like "table" but the forward (and the remat'd backward re-gather)
+    # reads a bf16 copy of the table — 4.3x faster gather rows
+    # (GATHER_PROBE.json) — while tangents/cotangents target the f32 table,
+    # so GRADIENTS are bit-identical to "table"; values carry bf16 table
+    # rounding (same order as volume.dtype=bfloat16's rounding).
     packed_bilerp: object = "table"
+    # pixel window of the Pallas splat backward (packed_bilerp="pallas"):
+    # int or (window_u, window_v); must cover the worst-case projected span
+    # of a 16-voxel tile for the camera rig (pallas_splat.required_window —
+    # dominated by the voxels nearest a camera, so close-orbit rigs need
+    # ~100-190 px at the reference scale). Scales with dim % 16 != 0 fall
+    # back to "table_bf16"; windows larger than the image clamp to it.
+    splat_window: object = 48
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to
@@ -269,12 +281,15 @@ def apply_inference_fast_paths(cfg: "Config") -> "Config":
     m = cfg.model
     m.sdf_network.volume_dtype = "bfloat16"
     m.sdf_network.packed_trilerp = True
-    m.sdf_network.fused_packed = True
     m.sdf_network.mlp_dtype = "bfloat16"
     m.color_network.packed_bilerp = True
-    m.color_network.fused_pyramid = True
     m.color_network.packed_dtype = "bfloat16"
     m.color_network.mlp_dtype = "bfloat16"
+    # NOT enabled: fused_packed / fused_pyramid (the single-gather merges).
+    # Measured SLOWER on v5e — 30.2k -> 22.6k rays/s (cascade) / 27.9k
+    # (pyramid) — XLA fuses each per-scale gather into its weight
+    # contraction, and the merged big gather defeats that
+    # (scripts/bench_variants.py, PERF.md round-3 section).
     return cfg
 
 

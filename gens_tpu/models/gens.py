@@ -158,7 +158,8 @@ class GenSModel:
                 axis_name=axis_name, view_valid=view_valid,
                 out_dtype=(jnp.bfloat16 if self.cfg.volume.dtype == "bfloat16"
                            else None),
-                packed_bilerp=self.cfg.volume.packed_bilerp)
+                packed_bilerp=self.cfg.volume.packed_bilerp,
+                splat_window=self.cfg.volume.splat_window)
         # remat: the U-Net's 256³ activations are cheap to recompute (~60 ms)
         # and expensive to keep across the whole render backward (~2 GB)
         reg_apply = jax.checkpoint(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as _nn
 
 from gens_tpu.ops.interp import (bilerp, bilerp_packed_diff, bilerp_supercell,
-                                 pack_supercell2d)
+                                 bilerp_supercell_mixed, pack_supercell2d)
 from gens_tpu.ops.projection import scale_intrinsics
 
 
@@ -46,7 +46,8 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                     dim: int, scale_idx: int, min_vis_view: int = 1,
                     axis_name: Optional[str] = None,
                     view_valid: Optional[jnp.ndarray] = None,
-                    out_dtype=None, packed_bilerp: bool = False):
+                    out_dtype=None, packed_bilerp: bool = False,
+                    splat_window: int = 48):
     """One cascade scale.
 
     feat: (V, H_i, W_i, C) view features at scale ``scale_idx``;
@@ -96,8 +97,25 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
     #             step (TRAINBENCH_r02), and the scatter is what it pays for.
     # Pack once per scale OUTSIDE the slab scan (PERF.md: packs inside loop
     # bodies are not reliably hoisted on TPU).
+    #   "table_bf16" — like "table", but the FORWARD (and the remat'd
+    #             re-gather in the backward) reads a bf16 copy of the table
+    #             (4.3x faster rows, GATHER_PROBE.json) while tangents and
+    #             the backward scatter stay exactly the f32 path's
+    #             (bilerp_supercell_mixed). Values carry bf16 table rounding.
+    #   "pallas"  — bf16 forward like "table_bf16", but the backward is the
+    #             Pallas SPLAT kernel (ops/pallas_splat.py): dense windowed
+    #             matmuls into a VMEM image accumulator instead of the
+    #             95.6M-row scatter that was 80% of the 256³ train step
+    #             (MFU_r03.json). Requires dim % 16 == 0 (coarser scales
+    #             fall back to "table_bf16") and cameras within
+    #             ``splat_window`` (pallas_splat.required_window).
     mode = "diff" if packed_bilerp is True else packed_bilerp
-    packed = pack_supercell2d(feat) if mode in ("diff", "table") else None
+    if mode == "pallas" and (dim % 16 != 0 or dim < 16):
+        mode = "table_bf16"
+    packed = (pack_supercell2d(feat)
+              if mode in ("diff", "table", "table_bf16", "pallas") else None)
+    packed_lo = (packed.table.astype(jnp.bfloat16)
+                 if mode in ("table_bf16", "pallas") else None)
 
     def slab_body(carry, xs_r):
         pts = jnp.stack([
@@ -108,7 +126,7 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         Ns = pts.shape[0]
 
         @jax.checkpoint
-        def contribution(feat_v, table_v, intr_v, c2w_v, valid_v):
+        def contribution(feat_v, table_v, table_lo_v, intr_v, c2w_v, valid_v):
             with jax.default_matmul_precision("highest"):
                 w2c = jnp.linalg.inv(c2w_v)
                 cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
@@ -124,6 +142,14 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                 vals = bilerp(feat_v, xy)  # (Ns, C), zero outside
             elif mode == "table":
                 vals = bilerp_supercell(table_v, packed.dims, xy)
+            elif mode == "table_bf16":
+                vals = bilerp_supercell_mixed(table_v, table_lo_v,
+                                              packed.dims, xy)
+            elif mode == "pallas":
+                from gens_tpu.ops.pallas_splat import bilerp_agg_splat
+
+                vals = bilerp_agg_splat(packed.dims, (slab, dim, dim),
+                                        splat_window, feat_v, table_lo_v, xy)
             else:
                 vals = bilerp_packed_diff(feat_v, table_v, packed.dims, xy)
             vm = vals * mask[..., None]
@@ -135,6 +161,7 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         for v in range(V):
             vm, vm2, m = contribution(
                 feat[v], None if packed is None else packed.table[v],
+                None if packed_lo is None else packed_lo[v],
                 intrs_i[v], c2ws[v], valid[v])
             warp_sum = warp_sum + vm.astype(jnp.float32)
             warp_sq_sum = warp_sq_sum + vm2.astype(jnp.float32)
@@ -215,7 +242,8 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
                  c2ws: jnp.ndarray, volume_dims: Sequence[int],
                  min_vis_view: int = 1, axis_name: Optional[str] = None,
                  view_valid: Optional[jnp.ndarray] = None,
-                 out_dtype=None, packed_bilerp: bool = False
+                 out_dtype=None, packed_bilerp: bool = False,
+                 splat_window: int = 48
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Build the full cascade. ``features[i]``: (V, H_i, W_i, C) fine-to-coarse.
 
@@ -224,11 +252,17 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
     """
     volumes, masks = [], []
     for i, dim in enumerate(volume_dims):
+        # splat_window: a LIST is per-scale (the required window grows with
+        # the voxel pitch, i.e. for coarser scales — sizing every scale to
+        # the coarsest bound would 4x the finest scale's matmul FLOPs);
+        # an int or (u, v) tuple applies to all scales
+        sw = (splat_window[i] if isinstance(splat_window, list)
+              else splat_window)
         vol, m = aggregate_scale(
             features[i], intrs, c2ws, dim, i,
             min_vis_view=min_vis_view, axis_name=axis_name,
             view_valid=view_valid, out_dtype=out_dtype,
-            packed_bilerp=packed_bilerp,
+            packed_bilerp=packed_bilerp, splat_window=sw,
         )
         volumes.append(vol)
         masks.append(m)

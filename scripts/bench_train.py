@@ -64,6 +64,17 @@ def measure(packed: bool, args):
                      n_rays=args.rays)
     inputs = {k: jnp.asarray(v) for k, v in raw.items()
               if k not in ("radius", "view_masks")}
+    if args.agg_packed == "pallas":
+        # per-scale windows sized to THIS rig (host-side, once per scene)
+        from gens_tpu.ops.pallas_splat import required_windows_cascade
+
+        if args.splat_window == "auto":
+            m.volume.splat_window = required_windows_cascade(
+                np.asarray(raw["intrs"]), np.asarray(raw["c2ws"]),
+                m.volume.volume_dims, (args.h, args.w))
+        else:
+            m.volume.splat_window = int(args.splat_window)
+        print("splat windows:", m.volume.splat_window, flush=True)
 
     K = args.iters
 
@@ -117,10 +128,14 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--agg-packed", nargs="?", const="diff",
-                   default=False, choices=[False, "diff", "table"],
+                   default=False,
+                   choices=[False, "diff", "table", "table_bf16", "pallas"],
                    help="packed bilerp in volume aggregation: bare flag = "
                         "'diff' (raw-map scatter), 'table' = scatter into "
                         "supercell rows + pack-conv transpose")
+    p.add_argument("--splat-window", default="auto",
+                   help="'auto' = per-scale required_windows_cascade of the "
+                        "bench rig; or a fixed int for all scales")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--modes", default="packed,raw")
     p.add_argument("--out", default=None)

@@ -79,7 +79,11 @@ def main():
                    help="ray count of the inference render stage (bench.py)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--agg-packed", nargs="?", const="diff",
-                   default="table", choices=[False, "diff", "table"])
+                   default="table",
+                   choices=[False, "diff", "table", "table_bf16", "pallas"])
+    p.add_argument("--splat-window", default="auto",
+                   help="'auto' = per-scale required_windows_cascade of the "
+                        "bench rig; or a fixed int for all scales")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--stages",
                    default="feature,agg,unet,render,render_infer,train_step")
@@ -120,6 +124,16 @@ def main():
                      n_rays=args.rays)
     inputs = {k: jnp.asarray(v) for k, v in raw.items()
               if k not in ("radius", "view_masks")}
+    if args.agg_packed == "pallas":
+        from gens_tpu.ops.pallas_splat import required_windows_cascade
+
+        if args.splat_window == "auto":
+            m.volume.splat_window = required_windows_cascade(
+                np.asarray(raw["intrs"]), np.asarray(raw["c2ws"]),
+                m.volume.volume_dims, (args.h, args.w))
+        else:
+            m.volume.splat_window = int(args.splat_window)
+        print("splat windows:", m.volume.splat_window, flush=True)
     K = args.iters
     results = {"config": vars(args), "device": kind,
                "peak_tflops": peak_flops / 1e12,
@@ -208,14 +222,16 @@ def main():
         def agg_fwd(i, feats, intrs, c2ws):
             feats = [jit_img(i, f) for f in feats]
             vols, _ = agg_mean_var(feats, intrs, c2ws, m.volume.volume_dims,
-                                   packed_bilerp=m.volume.packed_bilerp)
+                                   packed_bilerp=m.volume.packed_bilerp,
+                                   splat_window=m.volume.splat_window)
             return sum(jnp.sum(v).astype(jnp.float32) for v in vols)
 
         def agg_bwd(i, feats, intrs, c2ws):
             def loss(fs_in):
                 fs = [jit_img(i, f) for f in fs_in]
                 vols, _ = agg_mean_var(fs, intrs, c2ws, m.volume.volume_dims,
-                                       packed_bilerp=m.volume.packed_bilerp)
+                                       packed_bilerp=m.volume.packed_bilerp,
+                                       splat_window=m.volume.splat_window)
                 return sum(jnp.sum(v ** 2).astype(jnp.float32) for v in vols)
             g = jax.grad(loss)(list(feats))
             return sum(jnp.sum(x) for x in g).astype(jnp.float32)

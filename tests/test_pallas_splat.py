@@ -1,0 +1,145 @@
+"""Exactness of the Pallas bilinear-splat kernel (the aggregation backward
+without a scatter) against jax.grad of the plain bilerp path.
+
+Runs the kernel in interpret mode on CPU; the same code path compiles on
+TPU (measured in TRAINBENCH_r03)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gens_tpu.ops.interp import bilerp
+from gens_tpu.ops.pallas_splat import (TILE, required_window, splat_bilinear,
+                                       tile_grid_queries,
+                                       untile_grid_queries)
+
+
+def _tiled_positions(rng, S, Y, Z, hw, spread=1.6):
+    """Positions laid out as a (S, Y, Z) grid whose (16,16) tiles span less
+    than the window: a smooth affine-ish map plus small jitter, with some
+    tiles pushed outside the image to exercise the zeros-padding adjoint."""
+    H, W = hw
+    gy = np.linspace(-6.0, H + 6.0, Y)
+    gz = np.linspace(-6.0, W + 6.0, Z)
+    vv, uu = np.meshgrid(gy, gz, indexing="ij")
+    xy = np.stack([uu, vv], -1)[None].repeat(S, 0)  # (S, Y, Z, 2)
+    xy = xy + rng.uniform(-spread, spread, xy.shape)
+    xy = xy + rng.uniform(-2, 2, (S, 1, 1, 2))  # per-slab shift
+    return jnp.asarray(xy.reshape(S * Y * Z, 2).astype(np.float32))
+
+
+def test_splat_matches_bilerp_transpose():
+    rng = np.random.RandomState(0)
+    S, Y, Z = 2, 32, 32
+    H, W, C = 40, 48, 4
+    # grid pitch ~ (H+12)/Y ≈ 1.6 px/voxel → 16-voxel tile span ~26 px
+    window = 32
+    xy = _tiled_positions(rng, S, Y, Z, (H, W))
+    ct = jnp.asarray(rng.randn(S * Y * Z, C).astype(np.float32))
+
+    # reference: transpose of bilerp at the same points
+    img0 = jnp.zeros((H, W, C))
+    _, vjp = jax.vjp(lambda im: bilerp(im, xy), img0)
+    (ref,) = vjp(ct)
+
+    xy_t = tile_grid_queries(xy, (S, Y, Z))
+    ct_t = tile_grid_queries(ct, (S, Y, Z))
+    got = splat_bilinear(xy_t, ct_t, (H, W), window=window, interpret=True,
+                         mm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # production default: bf16 matmul operands (4x MXU rate) — values
+    # within bf16 rounding of the exact adjoint
+    lo = splat_bilinear(xy_t, ct_t, (H, W), window=window, interpret=True)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(ref),
+                               atol=2e-2 * scale)
+
+
+def test_splat_wide_image_window_exceeds_height():
+    """Window larger than the image HEIGHT on a wide image: the v-window
+    clamps to H while the u-window keeps its full span (per-axis clamp —
+    min(window, W, H) would silently under-cover u and drop contributions)."""
+    rng = np.random.RandomState(3)
+    S, Y, Z = 1, 16, 16
+    H, W, C = 16, 64, 3
+    # spread queries across the full 64-px width: u-span ~56 > H
+    gy = np.linspace(-2.0, H + 2.0, Y)
+    gz = np.linspace(-4.0, W + 4.0, Z)
+    vv, uu = np.meshgrid(gy, gz, indexing="ij")
+    xy = np.stack([uu, vv], -1)[None] + rng.uniform(-1, 1, (1, Y, Z, 2))
+    xy = jnp.asarray(xy.reshape(S * Y * Z, 2).astype(np.float32))
+    ct = jnp.asarray(rng.randn(S * Y * Z, C).astype(np.float32))
+
+    img0 = jnp.zeros((H, W, C))
+    _, vjp = jax.vjp(lambda im: bilerp(im, xy), img0)
+    (ref,) = vjp(ct)
+
+    xy_t = tile_grid_queries(xy, (S, Y, Z))
+    ct_t = tile_grid_queries(ct, (S, Y, Z))
+    got = splat_bilinear(xy_t, ct_t, (H, W), window=80, interpret=True,
+                         mm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tile_roundtrip():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3 * 32 * 48, 5).astype(np.float32))
+    t = tile_grid_queries(x, (3, 32, 48))
+    assert t.shape == (3 * 2 * 3, TILE, 5)
+    back = untile_grid_queries(t, (3, 32, 48))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_agg_pallas_mode_gradients():
+    """packed_bilerp="pallas" end-to-end through aggregate_scale: gradients
+    wrt the feature maps match the plain path (bf16-forward tolerance, the
+    same contract as "table_bf16")."""
+    from gens_tpu.models.volume import aggregate_scale
+    from tests.test_volume import look_at
+
+    rng = np.random.RandomState(2)
+    V, H, W, C = 3, 48, 48, 4
+    dim = 32  # divisible by 16 → the pallas path is exercised
+    # cameras far enough that the near cube corner doesn't blow the window
+    # (DTU-like rigs sit at 2.9-4 units; pallas_splat.required_window is the
+    # per-scene check)
+    f = 40.0
+    intr = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    c2ws = []
+    for i in range(V):
+        ang = 2 * np.pi * i / V
+        eye = 3.1 * np.array([np.cos(ang), np.sin(ang), 0.3], np.float32)
+        c2ws.append(look_at(eye, np.zeros(3, np.float32)))
+    intrs, c2ws = np.repeat(intr[None], V, 0), np.stack(c2ws)
+    feat = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    intrs = jnp.asarray(intrs)
+    c2ws = jnp.asarray(c2ws)
+
+    win = required_window(np.asarray(intrs), np.asarray(c2ws), dim, (H, W))
+    assert max(win) <= 48, win
+    win = tuple(max(w, 16) for w in win)
+
+    vol_a, mask_a = aggregate_scale(feat, intrs, c2ws, dim, 0,
+                                    packed_bilerp="table")
+    vol_b, mask_b = aggregate_scale(feat, intrs, c2ws, dim, 0,
+                                    packed_bilerp="pallas",
+                                    splat_window=win)
+    np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+    np.testing.assert_allclose(np.asarray(vol_a), np.asarray(vol_b),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss(f, packed):
+        vol, _ = aggregate_scale(f, intrs, c2ws, dim, 0,
+                                 packed_bilerp=packed,
+                                 splat_window=win)
+        return jnp.sum(vol * jnp.cos(jnp.arange(vol.size,
+                                                dtype=jnp.float32)
+                                     .reshape(vol.shape)))
+
+    g_a = jax.grad(lambda f: loss(f, "table"))(feat)
+    g_b = jax.grad(lambda f: loss(f, "pallas"))(feat)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               atol=5e-2, rtol=5e-2)

@@ -208,3 +208,40 @@ def test_table_grad_aggregation_matches_plain(rng):
     g_b = jax.grad(lambda f: loss(f, "table"))(feat)
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_table_bf16_aggregation(rng):
+    """packed_bilerp="table_bf16": the forward reads a bf16 copy of the
+    supercell table (values within bf16 rounding of "table") but every
+    derivative targets the f32 table — feature-map gradients must be
+    BIT-IDENTICAL to the "table" mode's."""
+    V, H, W, C = 3, 24, 20, 4
+    dim = 8
+    intrs, c2ws = _cams(V, (H, W), f=24.0)
+    feat = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    intrs = jnp.asarray(intrs)
+    c2ws = jnp.asarray(c2ws)
+
+    vol_a, mask_a = aggregate_scale(feat, intrs, c2ws, dim, 0,
+                                    packed_bilerp="table")
+    vol_b, mask_b = aggregate_scale(feat, intrs, c2ws, dim, 0,
+                                    packed_bilerp="table_bf16")
+    np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+    # values: bf16 rounding of the gathered table entries only
+    np.testing.assert_allclose(np.asarray(vol_a), np.asarray(vol_b),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss(f, packed):
+        vol, _ = aggregate_scale(f, intrs, c2ws, dim, 0,
+                                 packed_bilerp=packed)
+        return jnp.sum(vol * jnp.cos(jnp.arange(vol.size,
+                                                dtype=jnp.float32)
+                                     .reshape(vol.shape)))
+
+    g_a = jax.grad(lambda f: loss(f, "table"))(feat)
+    g_b = jax.grad(lambda f: loss(f, "table_bf16"))(feat)
+    # the var term multiplies cotangents by forward VALUES (vm), which carry
+    # bf16 rounding — gradients match to that rounding, and the pure linear
+    # (mean) path is exact
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               atol=5e-2, rtol=5e-2)
