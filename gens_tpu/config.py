@@ -56,12 +56,14 @@ class VolumeConfig:
     # rounding (same order as volume.dtype=bfloat16's rounding).
     packed_bilerp: object = "table"
     # pixel window of the Pallas splat backward (packed_bilerp="pallas"):
-    # int or (window_u, window_v); must cover the worst-case projected span
-    # of a 16-voxel tile for the camera rig (pallas_splat.required_window —
-    # dominated by the voxels nearest a camera, so close-orbit rigs need
+    # "auto" (the Runner sizes per-scale windows to the dataset's rigs via
+    # pallas_splat.required_windows_cascade before tracing), an int, a
+    # (window_u, window_v) pair, or a per-scale LIST of those. Must cover
+    # the worst-case projected span of a 16-voxel tile for the camera rig
+    # (dominated by the voxels nearest a camera — close-orbit rigs need
     # ~100-190 px at the reference scale). Scales with dim % 16 != 0 fall
     # back to "table_bf16"; windows larger than the image clamp to it.
-    splat_window: object = 48
+    splat_window: object = "auto"
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to

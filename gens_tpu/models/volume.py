@@ -112,6 +112,12 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
     mode = "diff" if packed_bilerp is True else packed_bilerp
     if mode == "pallas" and (dim % 16 != 0 or dim < 16):
         mode = "table_bf16"
+    if mode == "pallas" and not isinstance(splat_window, (int, tuple)):
+        raise ValueError(
+            "packed_bilerp='pallas' needs a resolved splat_window (int or "
+            f"(u, v)), got {splat_window!r} — the Runner resolves 'auto' "
+            "from the dataset rig (Runner._auto_splat_windows); direct "
+            "callers pass required_window(s_cascade) output")
     packed = (pack_supercell2d(feat)
               if mode in ("diff", "table", "table_bf16", "pallas") else None)
     packed_lo = (packed.table.astype(jnp.bfloat16)

@@ -172,9 +172,40 @@ class Runner:
         print(f"preemption checkpoint saved at epoch {epoch} "
               f"(step {int(state.step)}); exiting", flush=True)
 
+    def _auto_splat_windows(self, dataset, n_probe: int = 6) -> None:
+        """Size the Pallas splat backward's per-scale windows to the
+        dataset's camera rigs (volume.packed_bilerp="pallas",
+        splat_window="auto"). Probes a scene sample + 25% margin: DTU/BMVS
+        rigs are shared across scans (only the per-scan scale-mat varies),
+        so a small sample bounds the fleet; windows larger than a scale's
+        image clamp to it (trivially safe). Must run BEFORE the train step
+        is traced — the windows are static shapes in the kernel."""
+        vol = self.cfg.model.volume
+        if vol.packed_bilerp != "pallas" or vol.splat_window != "auto":
+            return
+        from gens_tpu.ops.pallas_splat import required_windows_cascade
+
+        idxs = self.rng.choice(len(dataset),
+                               size=min(n_probe, len(dataset)),
+                               replace=False)
+        wins = None
+        for i in idxs:
+            item = dataset[int(i)]
+            hw = tuple(np.asarray(item["imgs"]).shape[1:3])
+            w = required_windows_cascade(
+                np.asarray(item["intrs"]), np.asarray(item["c2ws"]),
+                vol.volume_dims, hw)
+            wins = (w if wins is None else
+                    [(max(a[0], b[0]), max(a[1], b[1]))
+                     for a, b in zip(wins, w)])
+        vol.splat_window = [(int(u * 1.25) + 1, int(v * 1.25) + 1)
+                            for u, v in wins]
+        print("pallas splat windows:", vol.splat_window, flush=True)
+
     def train(self, resume: Optional[str] = None):
         cfg = self.cfg
         dataset = get_dataset(cfg.train_dataset, "train", self.rng)
+        self._auto_splat_windows(dataset)
         steps_per_epoch = len(dataset)
         state, _ = init_train_state(self.model, cfg, self._next_key(),
                                     steps_per_epoch)

@@ -75,7 +75,7 @@ def scene_params(i: int):
 
 
 def build_config(n_steps: int, packed: bool = True, dims: int = 64,
-                 samples: int = 32, bf16: bool = False):
+                 samples: int = 32, bf16: bool = False, agg: str = "table"):
     from gens_tpu.config import Config
 
     cfg = Config()
@@ -86,6 +86,7 @@ def build_config(n_steps: int, packed: bool = True, dims: int = 64,
     m.render.n_sparse_pts = 512
     m.sdf_network.packed_trilerp = packed
     m.color_network.packed_bilerp = packed
+    m.volume.packed_bilerp = agg
     if bf16:
         m.volume.dtype = "bfloat16"
         m.reg_network.dtype = "bfloat16"
@@ -237,6 +238,15 @@ def main():
     p.add_argument("--samples", type=int, default=32,
                    help="n_samples = n_importance (reference: 64)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--agg-packed", default="table",
+                   choices=["diff", "table", "table_bf16"],
+                   help="aggregation gradient mode (volume.packed_bilerp); "
+                        "table_bf16 = bf16 forward gathers, gradients "
+                        "bit-identical to table")
+    p.add_argument("--resume-from", default="",
+                   help="phase b: warm-start params from this checkpoint "
+                        "(e.g. the 64^3 round-2 quality_gen.ckpt — all "
+                        "networks are resolution-independent)")
     p.add_argument("--mesh-res", type=int, default=192)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="QUALITY_r03.json")
@@ -306,14 +316,43 @@ def main():
             batches.append(inp)
         return batches, radius
 
-    def run_training(model, cfg, batches, n_steps, tag):
+    def run_training(model, cfg, batches, n_steps, tag, init_params=None,
+                     inflight_path=None, save_every=1000):
+        """``init_params``: warm-start params (all networks are
+        resolution-independent, so a 64³-trained checkpoint legitimately
+        initializes a 128³/256³ run — curriculum, not test leakage: the
+        held-out scenes were never trained on at any scale).
+        ``inflight_path``: periodic full-state checkpoint; an existing one
+        resumes the run at its recorded step (the tunneled chip flakes on
+        multi-hour runs; batches are pre-generated so the data stream is
+        deterministic in step)."""
+        from gens_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
         state, _ = init_train_state(model, cfg, jax.random.PRNGKey(0),
                                     steps_per_epoch=1)
+        if init_params is not None:
+            import jax.numpy as _jnp
+
+            state = state._replace(params=jax.tree.map(
+                lambda ref, new: _jnp.asarray(new, ref.dtype),
+                state.params, init_params))
+        start_step = 0
+        if inflight_path and os.path.exists(inflight_path):
+            payload = load_checkpoint(
+                inflight_path, target={"step": 0, "params": state.params,
+                                       "opt_state": state.opt_state})
+            state = state._replace(
+                params=payload["params"], opt_state=payload["opt_state"],
+                step=jnp.asarray(payload["step"], jnp.int32))
+            start_step = int(payload["step"])
+            print(f"[{tag}] resumed in-flight at step {start_step}",
+                  flush=True)
         _, step_fn = make_train_step(model, cfg, steps_per_epoch=1)
         curve = []
         t0 = time.time()
         t_compile = None
-        for step in range(n_steps):
+        step = start_step
+        for step in range(start_step, n_steps):
             inputs = batches[step % len(batches)]
             anneal = min(1.0, step / max(cfg.train.anneal_end, 1))
             try:
@@ -329,10 +368,15 @@ def main():
                 state, metrics = step_fn(state, inputs,
                                          jax.random.PRNGKey(step),
                                          anneal, use_match_features=False)
-            if step == 0:
+            if step == start_step:
                 jax.block_until_ready(metrics["loss"])
                 t_compile = time.time() - t0
                 t0 = time.time()
+            if (inflight_path and save_every
+                    and (step + 1) % save_every == 0):
+                save_checkpoint(inflight_path,
+                                {"step": step + 1, "params": state.params,
+                                 "opt_state": state.opt_state})
             if step % 25 == 0 or step == n_steps - 1:
                 scal = {k: float(metrics[k]) for k in
                         ("loss", "psnr", "eikonal_loss", "color_loss",
@@ -345,7 +389,7 @@ def main():
                       f"[{time.time() - t0:.0f}s]", flush=True)
         jax.block_until_ready(metrics["loss"])
         dt = time.time() - t0
-        ms_per_step = dt / max(n_steps - 1, 1) * 1e3
+        ms_per_step = dt / max(step - start_step, 1) * 1e3
         print(f"[{tag}] {n_steps} steps, compile {t_compile:.0f}s, "
               f"{ms_per_step:.0f} ms/step", flush=True)
         return state, curve, ms_per_step, t_compile
@@ -416,7 +460,8 @@ def main():
     model = None
     if args.phase in ("a", "all"):
         cfg = build_config(args.steps_a, dims=args.dims,
-                           samples=args.samples, bf16=args.bf16)
+                           samples=args.samples, bf16=args.bf16,
+                           agg=args.agg_packed)
         cfg.train.anneal_end = args.steps_a // 4
         model = GenSModel(cfg.model)
         kw = {k: v for k, v in scene_params(0).items()}
@@ -439,7 +484,8 @@ def main():
 
     if args.phase in ("b", "all"):
         cfg = build_config(args.steps_b, dims=args.dims,
-                           samples=args.samples, bf16=args.bf16)
+                           samples=args.samples, bf16=args.bf16,
+                           agg=args.agg_packed)
         cfg.train.anneal_end = args.steps_b // 8
         cfg.train.loss.pseudo_sdf_weight = 1.0
         cfg.train.loss.pseudo_depth_weight = 0.05
@@ -456,8 +502,23 @@ def main():
         for j in range(max(len(b) for b in all_batches)):
             for b in all_batches:
                 batches.append(b[j % len(b)])
-        state, curve, msps, tc = run_training(model, cfg, batches,
-                                              args.steps_b, "gen")
+        init_params = None
+        if args.resume_from:
+            from gens_tpu.train.checkpoint import load_checkpoint
+
+            ref_params = model.init_params(
+                jax.random.PRNGKey(0),
+                n_src_views=cfg.train_dataset.num_src_view)
+            ck = load_checkpoint(args.resume_from,
+                                 target={"epoch": 0, "step": 0,
+                                         "params": ref_params})
+            init_params = ck["params"]
+            print(f"warm start from {args.resume_from} "
+                  f"(step {ck.get('step')})", flush=True)
+        state, curve, msps, tc = run_training(
+            model, cfg, batches, args.steps_b, "gen",
+            init_params=init_params,
+            inflight_path="runs/quality_gen_inflight.ckpt")
         results["gen_curve"] = curve
         results["gen_ms_per_step"] = msps
         results["gen_compile_s"] = tc
@@ -493,7 +554,8 @@ def main():
         ckpt = load_checkpoint("runs/quality_gen.ckpt")
         params = ckpt["params"]
         cfg = build_config(args.steps_ft, dims=args.dims,
-                           samples=args.samples, bf16=args.bf16)
+                           samples=args.samples, bf16=args.bf16,
+                           agg=args.agg_packed)
         cfg.train.anneal_end = max(args.steps_ft // 8, 1)
         cfg.train.warmup = 0
         cfg.train.loss.sparse_weight = 0.0
@@ -625,7 +687,8 @@ def main():
         if os.path.exists("runs/quality_overfit.ckpt"):
             ckpt = load_checkpoint("runs/quality_overfit.ckpt")
             cfg = build_config(args.steps_a, dims=args.dims,
-                               samples=args.samples, bf16=args.bf16)
+                               samples=args.samples, bf16=args.bf16,
+                           agg=args.agg_packed)
             model = GenSModel(cfg.model)
             kw = scene_params(0)
             results.update(eval_scene(model, ckpt["params"], kw, "overfit"))
@@ -633,7 +696,8 @@ def main():
         if os.path.exists("runs/quality_gen.ckpt"):
             ckpt = load_checkpoint("runs/quality_gen.ckpt")
             cfg = build_config(args.steps_b, dims=args.dims,
-                               samples=args.samples, bf16=args.bf16)
+                               samples=args.samples, bf16=args.bf16,
+                           agg=args.agg_packed)
             model = GenSModel(cfg.model)
             kw_held = scene_params(-1)
             results.update(eval_scene(model, ckpt["params"], kw_held,

@@ -259,3 +259,30 @@ def test_train_sharded_one_epoch(runner_setup):
     assert int(runner.state.step) == 1
     ckpts = glob.glob(os.path.join(runner.exp_dir, "checkpoints", "*.ckpt"))
     assert ckpts
+
+
+def test_train_pallas_auto_windows(runner_setup):
+    """packed_bilerp="pallas" + splat_window="auto" through the Runner:
+    windows are sized to the dataset rig BEFORE tracing (a per-scale list),
+    the 32/16-voxel scales run the splat kernel (interpret mode on CPU),
+    and one epoch trains to a finite loss."""
+    import dataclasses
+
+    cfg, _, _ = runner_setup
+    cfg = dataclasses.replace(cfg)
+    cfg.model = dataclasses.replace(
+        cfg.model, volume=dataclasses.replace(
+            cfg.model.volume, packed_bilerp="pallas", splat_window="auto"))
+    cfg.train_dataset = dataclasses.replace(
+        cfg.train_dataset, dataset_name="synthetic", num_src_view=2,
+        img_hw=(64, 64), n_rays=16, scene=("s0",))
+    cfg.train = dataclasses.replace(cfg.train, epochs=1, save_freq=100,
+                                    val_freq=100)
+    cfg.base_exp_dir = tempfile.mkdtemp()
+    runner = Runner(cfg, None)
+    runner.mode = "train"
+    runner.train()
+    sw = runner.cfg.model.volume.splat_window
+    assert isinstance(sw, list) and len(sw) == 5, sw
+    assert all(isinstance(w, tuple) and len(w) == 2 for w in sw), sw
+    assert int(runner.state.step) == 1
