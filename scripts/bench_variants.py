@@ -73,6 +73,12 @@ VARIANTS = {
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variants", default=",".join(VARIANTS))
+    p.add_argument("--rays-sweep", default="",
+                   help="comma list of ray-chunk sizes; sweeps the baseline "
+                        "variant over chunk size instead of the variant set "
+                        "(GATHER_PROBE: populations below ~256k rows pay a "
+                        "2-6x gather ramp-up, so bigger val chunks should "
+                        "amortize it)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -82,8 +88,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     results = []
-    for name in args.variants.split(","):
-        results.append(run_variant(name, VARIANTS[name]))
+    if args.rays_sweep:
+        for n in (int(s) for s in args.rays_sweep.split(",")):
+            # fewer fori iterations at big chunks keeps run time flat
+            iters = max(4, min(20, (20 * 1024) // n))
+            results.append(run_variant(f"rays_{n}", VARIANTS["baseline_r02"],
+                                       n_rays=n, iters=iters))
+    else:
+        for name in args.variants.split(","):
+            results.append(run_variant(name, VARIANTS[name]))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)

@@ -239,10 +239,11 @@ def main():
                    help="n_samples = n_importance (reference: 64)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--agg-packed", default="table",
-                   choices=["diff", "table", "table_bf16"],
+                   choices=["diff", "table", "table_bf16", "pallas"],
                    help="aggregation gradient mode (volume.packed_bilerp); "
                         "table_bf16 = bf16 forward gathers, gradients "
-                        "bit-identical to table")
+                        "bit-identical to table; pallas = splat-kernel "
+                        "backward (windows sized from the synthetic rig)")
     p.add_argument("--resume-from", default="",
                    help="phase b: warm-start params from this checkpoint "
                         "(e.g. the 64^3 round-2 quality_gen.ckpt — all "
@@ -457,11 +458,34 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
 
+    def build_cfg(n_steps):
+        """build_config + (for the pallas splat backward) window sizing from
+        the synthetic rig — the same probe-and-margin policy as
+        Runner._auto_splat_windows, over a sample of fixture scenes."""
+        cfg = build_config(n_steps, dims=args.dims, samples=args.samples,
+                           bf16=args.bf16, agg=args.agg_packed)
+        if args.agg_packed == "pallas":
+            from gens_tpu.ops.pallas_splat import required_windows_cascade
+            wins = None
+            for i in (0, 1, 2, -1, -2):
+                raw = make_scene(n_views=args.train_views, hw=hw, n_rays=8,
+                                 seed=0, spread=args.spread,
+                                 **scene_params(i))
+                w = required_windows_cascade(
+                    np.asarray(raw["intrs"]), np.asarray(raw["c2ws"]),
+                    cfg.model.volume.volume_dims, hw)
+                wins = (w if wins is None else
+                        [(max(a[0], b[0]), max(a[1], b[1]))
+                         for a, b in zip(wins, w)])
+            cfg.model.volume.splat_window = [
+                (int(u * 1.25) + 1, int(v * 1.25) + 1) for u, v in wins]
+            print("pallas splat windows:", cfg.model.volume.splat_window,
+                  flush=True)
+        return cfg
+
     model = None
     if args.phase in ("a", "all"):
-        cfg = build_config(args.steps_a, dims=args.dims,
-                           samples=args.samples, bf16=args.bf16,
-                           agg=args.agg_packed)
+        cfg = build_cfg(args.steps_a)
         cfg.train.anneal_end = args.steps_a // 4
         model = GenSModel(cfg.model)
         kw = {k: v for k, v in scene_params(0).items()}
@@ -483,9 +507,7 @@ def main():
                           if not k.endswith("curve")}, indent=1), flush=True)
 
     if args.phase in ("b", "all"):
-        cfg = build_config(args.steps_b, dims=args.dims,
-                           samples=args.samples, bf16=args.bf16,
-                           agg=args.agg_packed)
+        cfg = build_cfg(args.steps_b)
         cfg.train.anneal_end = args.steps_b // 8
         cfg.train.loss.pseudo_sdf_weight = 1.0
         cfg.train.loss.pseudo_depth_weight = 0.05
@@ -553,9 +575,7 @@ def main():
 
         ckpt = load_checkpoint("runs/quality_gen.ckpt")
         params = ckpt["params"]
-        cfg = build_config(args.steps_ft, dims=args.dims,
-                           samples=args.samples, bf16=args.bf16,
-                           agg=args.agg_packed)
+        cfg = build_cfg(args.steps_ft)
         cfg.train.anneal_end = max(args.steps_ft // 8, 1)
         cfg.train.warmup = 0
         cfg.train.loss.sparse_weight = 0.0
@@ -686,18 +706,14 @@ def main():
 
         if os.path.exists("runs/quality_overfit.ckpt"):
             ckpt = load_checkpoint("runs/quality_overfit.ckpt")
-            cfg = build_config(args.steps_a, dims=args.dims,
-                               samples=args.samples, bf16=args.bf16,
-                           agg=args.agg_packed)
+            cfg = build_cfg(args.steps_a)
             model = GenSModel(cfg.model)
             kw = scene_params(0)
             results.update(eval_scene(model, ckpt["params"], kw, "overfit"))
             flush()
         if os.path.exists("runs/quality_gen.ckpt"):
             ckpt = load_checkpoint("runs/quality_gen.ckpt")
-            cfg = build_config(args.steps_b, dims=args.dims,
-                               samples=args.samples, bf16=args.bf16,
-                           agg=args.agg_packed)
+            cfg = build_cfg(args.steps_b)
             model = GenSModel(cfg.model)
             kw_held = scene_params(-1)
             results.update(eval_scene(model, ckpt["params"], kw_held,
