@@ -52,10 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 256  # queries per kernel step: one (1, 16, 16) voxel block
 _TY = 16
 _TZ = 16
+_SUB = 8     # sublane alignment of dynamic-update offsets (f32)
+_LANE = 128  # lane alignment of dynamic-update offsets
 
 
-def _splat_kernel(W: int, H: int, C: int, WBu: int, WBv: int, n_tiles: int,
-                  mm_dtype, xy_ref, ct_ref, out_ref):
+def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
+                  WBv: int, n_tiles: int, mm_dtype, xy_ref, ct_ref, out_ref):
     t = pl.program_id(0)
 
     # out_ref's index map is constant, so the block stays VMEM-resident
@@ -71,15 +73,30 @@ def _splat_kernel(W: int, H: int, C: int, WBu: int, WBv: int, n_tiles: int,
     u = xy[:, 0]
     v = xy[:, 1]
 
-    # window bases from the in-image-clipped positions (behind-camera /
-    # far-out queries carry zero cotangent; clipping only positions the
-    # window). Bases clamp into [0, dim - WB] so the dynamic-slice update
-    # stays in range; hat weights vanish wherever the clamp displaced a
-    # zero-cotangent query.
-    uc = jnp.clip(u, -1.0, float(W))
-    vc = jnp.clip(v, -1.0, float(H))
-    bu = jnp.clip(jnp.floor(jnp.min(uc)).astype(jnp.int32), 0, W - WBu)
-    bv = jnp.clip(jnp.floor(jnp.min(vc)).astype(jnp.int32), 0, H - WBv)
+    # Window bases from the LIVE (nonzero-cotangent) positions only. A
+    # zero-cotangent query contributes nothing wherever it lands, so
+    # excluding it is exact — and necessary: out-of-frustum queries in a
+    # frustum-straddling tile project arbitrarily far from the tile's
+    # in-image cluster, and letting them pull the base would displace the
+    # window off the live queries (silently dropping their mass). The
+    # required_window bound covers live queries only (it is an in-frustum
+    # Jacobian bound). Bases clamp into [0, dim - WB] so the dynamic-slice
+    # update stays in range; an all-dead tile accumulates zeros wherever
+    # its (clamped) window lands.
+    live = jnp.max(jnp.abs(ct), axis=1) > 0.0
+    uc = jnp.where(live, jnp.clip(u, -1.0, float(W)), jnp.inf)
+    vc = jnp.where(live, jnp.clip(v, -1.0, float(H)), jnp.inf)
+    # Mosaic requires dynamic-update offsets aligned to the (8, 128)
+    # register tile, so the base aligns DOWN; WBu/WBv arrive pre-padded by
+    # _window_uv to absorb the displacement, and the clamp bound
+    # (Wp - WBu, with BOTH terms lane-multiples — Hp/_SUB likewise) is
+    # itself aligned, so the right-edge clamp never loses coverage.
+    bu = jnp.floor(jnp.clip(jnp.min(uc), 0.0, float(Wp - WBu))
+                   ).astype(jnp.int32)
+    bv = jnp.floor(jnp.clip(jnp.min(vc), 0.0, float(Hp - WBv))
+                   ).astype(jnp.int32)
+    bu = (bu // _LANE) * _LANE
+    bv = (bv // _SUB) * _SUB
 
     # hat-weight matrices vs the window's absolute pixel columns/rows,
     # masked to the image interior — exactly bilerp's per-corner
@@ -92,30 +109,47 @@ def _splat_kernel(W: int, H: int, C: int, WBu: int, WBv: int, n_tiles: int,
     Vb = jnp.maximum(0.0, 1.0 - jnp.abs(dv)) * (jv < H)
     # (ju >= 0 / jv >= 0 are implied by the base clamp at 0)
 
-    # A[n, k*WBv + j] = Vb[n, j] · ct[n, k]  (TILE, C*WBv)
-    A = (Vb[:, None, :] * ct[:, :, None]).reshape(TILE, C * WBv)
+    # One (TILE, WBv)ᵀ(TILE, WBu) matmul per channel, unrolled over the
+    # (small, static) C. NB a single fused matmul over a (TILE, C·WBv)
+    # operand would need a (TILE, C, WBv) -> (TILE, C·WBv) collapse of a
+    # non-lane-aligned minor pair, which Mosaic cannot shape-cast
+    # ("infer-vector-layout: unsupported shape cast" on v5e); per-channel
+    # matmuls move the same FLOPs through the MXU without any reshape.
     # mm_dtype=bf16 operands: 4x the f32 MXU rate; accumulation stays f32
     # (preferred_element_type). Hat weights/cotangents carry bf16 rounding
     # (~2^-8 relative) — same order as the bf16 forward the "pallas" mode
     # already runs. The masks/zero structure above are computed in f32, so
     # exact zeros stay exact; mm_dtype=f32 gives the bit-exact adjoint.
-    win = jax.lax.dot_general(
-        A.astype(mm_dtype), Ub.astype(mm_dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (C*WBv, WBu)
-    win = win.reshape(C, WBv, WBu)
-    out_ref[:, pl.ds(bv, WBv), pl.ds(bu, WBu)] += win
+    # TPU MXU note: a "f32" dot at DEFAULT precision rounds operands to
+    # bf16 (one MXU pass); mm_dtype=f32 therefore requests HIGHEST
+    # (bf16x3 emulation, f32-accurate) to honor the exact-adjoint contract.
+    prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    Ub_mm = Ub.astype(mm_dtype)
+    for k in range(C):
+        Ak = Vb * ct[:, k][:, None]  # (TILE, WBv)
+        win_k = jax.lax.dot_general(
+            Ak.astype(mm_dtype), Ub_mm,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)  # (WBv, WBu)
+        out_ref[k, pl.ds(bv, WBv), pl.ds(bu, WBu)] += win_k
 
 
 def _window_uv(window, hw: Tuple[int, int]) -> Tuple[int, int]:
-    """Per-axis window sizes, clamped to the image: a window covering the
-    whole image along an axis is trivially sufficient, which is what the
-    coarse cascade scales (image smaller than the bound) resolve to.
-    Windows are PER-AXIS because the u-span bound can exceed H on wide
-    images (then min(window, W, H) would silently under-cover u)."""
-    H, W = hw
+    """Static per-axis window sizes: the caller's required span, padded for
+    the (8, 128)-aligned dynamic update (the base aligns DOWN by up to
+    sub/lane-1, so the window grows by that much, rounded up to the tile),
+    clamped to the image — a window covering the whole image along an axis
+    is trivially sufficient, which is what the coarse cascade scales
+    (image smaller than the bound) resolve to. Windows are PER-AXIS
+    because the u-span bound can exceed H on wide images (then
+    min(window, W, H) would silently under-cover u)."""
+    Hp, Wp = hw  # PADDED image dims (multiples of the register tile)
     wu, wv = (window, window) if isinstance(window, int) else window
-    return min(int(wu), W), min(int(wv), H)
+    wu_p = -(-(int(wu) + _LANE - 1) // _LANE) * _LANE
+    wv_p = -(-(int(wv) + _SUB - 1) // _SUB) * _SUB
+    return min(wu_p, Wp), min(wv_p, Hp)
 
 
 def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
@@ -133,10 +167,19 @@ def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
     n_tiles = xy.shape[0]
     H, W = hw
     C = ct.shape[-1]
-    WBu, WBv = _window_uv(window, hw)
+    # the accumulator is padded to the (8, 128) register tile so every
+    # aligned window placement stays in range (and the image-edge clamp
+    # bound Wp - WBu is itself aligned); the pad rows/cols only ever
+    # receive zero hat-weight mass and are cropped on return
+    Hp = -(-H // _SUB) * _SUB
+    Wp = -(-W // _LANE) * _LANE
+    WBu, WBv = _window_uv(window, (Hp, Wp))
 
-    kernel = functools.partial(_splat_kernel, W, H, C, WBu, WBv, n_tiles,
-                               mm_dtype)
+    kernel = functools.partial(_splat_kernel, W, H, Wp, Hp, C, WBu, WBv,
+                               n_tiles, mm_dtype)
+    # under shard_map's vma checking the output varies over every mesh axis
+    # the inputs vary over (the kernel is a per-shard pure map)
+    vma = frozenset(jax.typeof(xy).vma) | frozenset(jax.typeof(ct).vma)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -146,12 +189,12 @@ def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
             pl.BlockSpec((1, TILE, C), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, H, W), lambda t: (0, 0, 0),
+        out_specs=pl.BlockSpec((C, Hp, Wp), lambda t: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32, vma=vma),
         interpret=interpret,
     )(xy.astype(jnp.float32), ct.astype(jnp.float32))
-    return jnp.transpose(out, (1, 2, 0))  # (H, W, C)
+    return jnp.transpose(out[:, :H, :W], (1, 2, 0))  # (H, W, C)
 
 
 def tile_grid_queries(x: jnp.ndarray, grid_shape: Tuple[int, int, int]):

@@ -84,6 +84,36 @@ def test_splat_wide_image_window_exceeds_height():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_splat_straddling_strays_do_not_displace_window():
+    """Frustum-straddling tile: zero-cotangent strays projecting arbitrarily
+    far from the tile's live in-image cluster must not pull the window base
+    away from the live queries (regression: the base was computed over ALL
+    clipped positions, so a stray at u=-50 dragged the window to the image
+    edge and silently dropped the live mass)."""
+    rng = np.random.RandomState(7)
+    H, W, C = 48, 64, 3
+    WBu, WBv = 20, 20
+    n_tiles = 4
+    base = rng.uniform([0, 0], [W - WBu, H - WBv], size=(n_tiles, 1, 2))
+    xy = (base + rng.uniform(0, [WBu - 2, WBv - 2],
+                             size=(n_tiles, TILE, 2))).astype(np.float32)
+    ct = rng.randn(n_tiles, TILE, C).astype(np.float32)
+    # strays far left/below AND far right of every tile's live cluster
+    xy[:, :4] = [-50.0, -7.0]
+    xy[:, 4:8] = [W + 90.0, H + 40.0]
+    ct[:, :8] = 0.0
+    xy_j, ct_j = jnp.asarray(xy), jnp.asarray(ct)
+
+    img0 = jnp.zeros((H, W, C))
+    _, vjp = jax.vjp(lambda im: bilerp(im, xy_j.reshape(-1, 2)), img0)
+    (ref,) = vjp(ct_j.reshape(-1, C))
+
+    got = splat_bilinear(xy_j, ct_j, (H, W), window=(WBu, WBv),
+                         interpret=True, mm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tile_roundtrip():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(3 * 32 * 48, 5).astype(np.float32))
