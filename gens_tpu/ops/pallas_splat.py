@@ -57,8 +57,16 @@ _LANE = 128  # lane alignment of dynamic-update offsets
 
 
 def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
-                  WBv: int, n_tiles: int, mm_dtype, xy_ref, ct_ref, out_ref):
+                  WBv: int, n_tiles: int, mm_dtype, vma_axes, xy_ref, ct_ref,
+                  out_ref):
     t = pl.program_id(0)
+
+    # interpret mode under shard_map(check_vma=True): ref reads drop the
+    # inputs' varying-manual-axes set, so downstream dynamic slices mix
+    # varying and unvarying operands and the vma checker rejects the
+    # (discharged) kernel. Re-vary everything data-derived at entry.
+    # Compiled mode lowers the kernel separately (vma_axes=()).
+    pv = (lambda x: jax.lax.pvary(x, vma_axes)) if vma_axes else (lambda x: x)
 
     # out_ref's index map is constant, so the block stays VMEM-resident
     # across the whole grid and doubles as the accumulator (one HBM write
@@ -66,10 +74,10 @@ def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
     # ((4, 480, 640) f32 is 4.9 MB of the ~16 MB VMEM).
     @pl.when(t == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] = pv(jnp.zeros(out_ref.shape, out_ref.dtype))
 
-    xy = xy_ref[0]  # (TILE, 2)
-    ct = ct_ref[0]  # (TILE, C)
+    xy = pv(xy_ref[0])  # (TILE, 2)
+    ct = pv(ct_ref[0])  # (TILE, C)
     u = xy[:, 0]
     v = xy[:, 1]
 
@@ -175,11 +183,12 @@ def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
     Wp = -(-W // _LANE) * _LANE
     WBu, WBv = _window_uv(window, (Hp, Wp))
 
-    kernel = functools.partial(_splat_kernel, W, H, Wp, Hp, C, WBu, WBv,
-                               n_tiles, mm_dtype)
     # under shard_map's vma checking the output varies over every mesh axis
     # the inputs vary over (the kernel is a per-shard pure map)
     vma = frozenset(jax.typeof(xy).vma) | frozenset(jax.typeof(ct).vma)
+    kernel = functools.partial(_splat_kernel, W, H, Wp, Hp, C, WBu, WBv,
+                               n_tiles, mm_dtype,
+                               tuple(sorted(vma)) if interpret else ())
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
