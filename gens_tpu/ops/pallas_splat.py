@@ -57,16 +57,9 @@ _LANE = 128  # lane alignment of dynamic-update offsets
 
 
 def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
-                  WBv: int, n_tiles: int, mm_dtype, vma_axes, xy_ref, ct_ref,
+                  WBv: int, n_tiles: int, mm_dtype, xy_ref, ct_ref,
                   out_ref):
     t = pl.program_id(0)
-
-    # interpret mode under shard_map(check_vma=True): ref reads drop the
-    # inputs' varying-manual-axes set, so downstream dynamic slices mix
-    # varying and unvarying operands and the vma checker rejects the
-    # (discharged) kernel. Re-vary everything data-derived at entry.
-    # Compiled mode lowers the kernel separately (vma_axes=()).
-    pv = (lambda x: jax.lax.pvary(x, vma_axes)) if vma_axes else (lambda x: x)
 
     # out_ref's index map is constant, so the block stays VMEM-resident
     # across the whole grid and doubles as the accumulator (one HBM write
@@ -74,10 +67,10 @@ def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
     # ((4, 480, 640) f32 is 4.9 MB of the ~16 MB VMEM).
     @pl.when(t == 0)
     def _():
-        out_ref[...] = pv(jnp.zeros(out_ref.shape, out_ref.dtype))
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    xy = pv(xy_ref[0])  # (TILE, 2)
-    ct = pv(ct_ref[0])  # (TILE, C)
+    xy = xy_ref[0]  # (TILE, 2)
+    ct = ct_ref[0]  # (TILE, C)
     u = xy[:, 0]
     v = xy[:, 1]
 
@@ -187,8 +180,7 @@ def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
     # the inputs vary over (the kernel is a per-shard pure map)
     vma = frozenset(jax.typeof(xy).vma) | frozenset(jax.typeof(ct).vma)
     kernel = functools.partial(_splat_kernel, W, H, Wp, Hp, C, WBu, WBv,
-                               n_tiles, mm_dtype,
-                               tuple(sorted(vma)) if interpret else ())
+                               n_tiles, mm_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -249,11 +241,23 @@ def _bas_fwd(dims, grid_shape, window, image, table_lo, xy):
 
 
 def _bas_bwd(dims, grid_shape, window, xy, ct):
-    interp = jax.default_backend() != "tpu"
+    if jax.default_backend() != "tpu":
+        # Non-TPU (the CPU test mesh): evaluate the kernel's exact math as
+        # the bilerp adjoint instead of interpreting the Mosaic kernel —
+        # interpreting it inside shard_map trips jax's vma checker (ref
+        # reads drop the varying-axes set, order-dependently). The kernel
+        # itself is covered by interpret-mode unit tests
+        # (tests/test_pallas_splat.py) and by the on-device probe
+        # (scripts/splat_compile_probe.py).
+        from gens_tpu.ops.interp import bilerp
+
+        H, W = dims
+        img0 = jnp.zeros((H, W, ct.shape[-1]), jnp.float32)
+        _, vjp = jax.vjp(lambda im: bilerp(im, xy), img0)
+        return vjp(ct)[0], None, None
     xy_t = tile_grid_queries(xy, grid_shape)
     ct_t = tile_grid_queries(ct, grid_shape)
-    dimg = splat_bilinear(xy_t, ct_t, dims, window=window,
-                          interpret=interp)
+    dimg = splat_bilinear(xy_t, ct_t, dims, window=window)
     return dimg, None, None
 
 
