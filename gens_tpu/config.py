@@ -47,8 +47,10 @@ class VolumeConfig:
     # into the raw feature maps (bilerp_packed_diff). "table": differentiate
     # through the supercell table — 4x fewer, 9x wider scatter rows, then
     # the pack conv's transpose (a dense conv) finishes the job. "table"
-    # measured 3388 -> 710 ms/step at 128³ full scale on v5e (TRAINBENCH;
-    # exactness vs plain pinned in tests/test_volume.py). "table_bf16":
+    # measured 710 ms/step at 128³ / 3052 at 256³ full scale on v5e
+    # (TRAINBENCH_r03.json; exactness vs plain pinned in
+    # tests/test_volume.py); "pallas" (below) is the fastest measured
+    # (2187 ms at 256³) and is what confs/dtu.yaml ships. "table_bf16":
     # like "table" but the forward (and the remat'd backward re-gather)
     # reads a bf16 copy of the table — 4.3x faster gather rows
     # (GATHER_PROBE.json) — while tangents/cotangents target the f32 table,
