@@ -114,6 +114,40 @@ def test_splat_straddling_strays_do_not_displace_window():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_splat_edge_clamp_on_unaligned_image():
+    """Image dims not multiples of the (8, 128) register tile, with query
+    clusters hugging every image corner/edge: exercises the padded
+    accumulator + aligned-base clamp (the window placement near the right/
+    bottom edge is where base alignment could lose coverage)."""
+    rng = np.random.RandomState(11)
+    # W wide enough that the 128-lane-padded u-window (100 -> 256) stays
+    # SMALLER than the padded image (512) — otherwise the window
+    # degenerates to full-width and the aligned-base placement logic is
+    # never exercised; H likewise for the 8-sublane v path
+    H, W, C = 45, 400, 2
+    WBu, WBv = 100, 10
+    corners = np.array([
+        [0.0, 0.0], [W - WBu, 0.0], [0.0, H - WBv],
+        [W - WBu, H - WBv],                       # the four corners
+        [W - WBu + 5.0, H - WBv + 5.0],           # overhanging the edge
+        [W / 2.0, H - WBv + 6.0],                 # bottom edge
+    ])
+    n_tiles = len(corners)
+    xy = (corners[:, None, :] + rng.uniform(
+        0, [WBu - 2, WBv - 2], size=(n_tiles, TILE, 2))).astype(np.float32)
+    ct = rng.randn(n_tiles, TILE, C).astype(np.float32)
+    xy_j, ct_j = jnp.asarray(xy), jnp.asarray(ct)
+
+    img0 = jnp.zeros((H, W, C))
+    _, vjp = jax.vjp(lambda im: bilerp(im, xy_j.reshape(-1, 2)), img0)
+    (ref,) = vjp(ct_j.reshape(-1, C))
+
+    got = splat_bilinear(xy_j, ct_j, (H, W), window=(WBu, WBv),
+                         interpret=True, mm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tile_roundtrip():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(3 * 32 * 48, 5).astype(np.float32))
