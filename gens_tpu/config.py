@@ -50,7 +50,11 @@ class VolumeConfig:
     # measured 710 ms/step at 128³ / 3052 at 256³ full scale on v5e
     # (TRAINBENCH_r03.json; exactness vs plain pinned in
     # tests/test_volume.py); "pallas" (below) is the fastest measured
-    # (2187 ms at 256³) and is what confs/dtu.yaml ships. "table_bf16":
+    # (2187 ms at 256³) and is what confs/dtu.yaml ships — NB unlike
+    # "table"/"table_bf16" its backward matmuls run bf16 operands by
+    # default (~2^-8 relative gradient rounding; set splat_mm_dtype to
+    # "float32" for the bit-exact adjoint at ~1/4 the MXU rate).
+    # "table_bf16":
     # like "table" but the forward (and the remat'd backward re-gather)
     # reads a bf16 copy of the table — 4.3x faster gather rows
     # (GATHER_PROBE.json) — while tangents/cotangents target the f32 table,
@@ -66,6 +70,18 @@ class VolumeConfig:
     # ~100-190 px at the reference scale). Scales with dim % 16 != 0 fall
     # back to "table_bf16"; windows larger than the image clamp to it.
     splat_window: object = "auto"
+    # which backward implementation packed_bilerp="pallas" runs: "kernel"
+    # (the Mosaic splat kernel — TPU only), "adjoint" (the mathematically
+    # identical jnp bilerp adjoint, for non-TPU targets), or "auto"
+    # (sharded steps resolve from the MESH's device platform in
+    # parallel/sharded.py — the platform the computation actually targets;
+    # plain-jit callers from jax.default_backend())
+    splat_impl: str = "auto"
+    # splat-kernel hat-matmul operand dtype: "bfloat16" (4x MXU rate,
+    # ~2^-8 relative gradient rounding — same order as the bf16 forward
+    # this mode already runs) or "float32" (bit-exact adjoint via
+    # Precision.HIGHEST)
+    splat_mm_dtype: str = "bfloat16"
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to

@@ -159,7 +159,9 @@ class GenSModel:
                 out_dtype=(jnp.bfloat16 if self.cfg.volume.dtype == "bfloat16"
                            else None),
                 packed_bilerp=self.cfg.volume.packed_bilerp,
-                splat_window=self.cfg.volume.splat_window)
+                splat_window=self.cfg.volume.splat_window,
+                splat_impl=self.cfg.volume.splat_impl,
+                splat_mm_dtype=self.cfg.volume.splat_mm_dtype)
         # remat: the U-Net's 256³ activations are cheap to recompute (~60 ms)
         # and expensive to keep across the whole render backward (~2 GB)
         reg_apply = jax.checkpoint(

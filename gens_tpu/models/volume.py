@@ -47,7 +47,8 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                     axis_name: Optional[str] = None,
                     view_valid: Optional[jnp.ndarray] = None,
                     out_dtype=None, packed_bilerp: bool = False,
-                    splat_window: int = 48):
+                    splat_window: int = 48, splat_impl: str = "auto",
+                    splat_mm_dtype: str = "bfloat16"):
     """One cascade scale.
 
     feat: (V, H_i, W_i, C) view features at scale ``scale_idx``;
@@ -122,6 +123,15 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
               if mode in ("diff", "table", "table_bf16", "pallas") else None)
     packed_lo = (packed.table.astype(jnp.bfloat16)
                  if mode in ("table_bf16", "pallas") else None)
+    if mode == "pallas":
+        from gens_tpu.ops.pallas_splat import resolve_splat_impl
+
+        # resolve "auto" HERE (plain-jit callers: the process default
+        # backend); sharded callers resolve it against the MESH's platform
+        # before building the step (parallel/sharded.py) so a CPU mesh in a
+        # TPU-plugin process never traces the Mosaic kernel
+        splat_impl = resolve_splat_impl(splat_impl)
+        splat_mm = jnp.bfloat16 if splat_mm_dtype == "bfloat16" else jnp.float32
 
     def slab_body(carry, xs_r):
         pts = jnp.stack([
@@ -155,7 +165,8 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                 from gens_tpu.ops.pallas_splat import bilerp_agg_splat
 
                 vals = bilerp_agg_splat(packed.dims, (slab, dim, dim),
-                                        splat_window, feat_v, table_lo_v, xy)
+                                        splat_window, splat_impl, splat_mm,
+                                        feat_v, table_lo_v, xy)
             else:
                 vals = bilerp_packed_diff(feat_v, table_v, packed.dims, xy)
             vm = vals * mask[..., None]
@@ -249,7 +260,8 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
                  min_vis_view: int = 1, axis_name: Optional[str] = None,
                  view_valid: Optional[jnp.ndarray] = None,
                  out_dtype=None, packed_bilerp: bool = False,
-                 splat_window: int = 48
+                 splat_window: int = 48, splat_impl: str = "auto",
+                 splat_mm_dtype: str = "bfloat16"
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Build the full cascade. ``features[i]``: (V, H_i, W_i, C) fine-to-coarse.
 
@@ -269,6 +281,7 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
             min_vis_view=min_vis_view, axis_name=axis_name,
             view_valid=view_valid, out_dtype=out_dtype,
             packed_bilerp=packed_bilerp, splat_window=sw,
+            splat_impl=splat_impl, splat_mm_dtype=splat_mm_dtype,
         )
         volumes.append(vol)
         masks.append(m)

@@ -263,9 +263,14 @@ def test_train_sharded_one_epoch(runner_setup):
 
 def test_train_pallas_auto_windows(runner_setup):
     """packed_bilerp="pallas" + splat_window="auto" through the Runner:
-    windows are sized to the dataset rig BEFORE tracing (a per-scale list),
-    the 32/16-voxel scales run the splat kernel (interpret mode on CPU),
-    and one epoch trains to a finite loss."""
+    windows are sized to the dataset rig BEFORE tracing (a per-scale list)
+    and one epoch trains to a finite loss. NB this exercises the Runner at
+    parallel 1x1 (plain jit, no mesh) — on CPU the splat backward resolves
+    to the exact jnp bilerp adjoint, NOT the Mosaic kernel (interpret mode
+    is not run in the training path; the kernel itself is covered by
+    tests/test_pallas_splat.py and the on-device probe). The pallas mode
+    under an ACTUAL shard_map is covered by
+    tests/test_sharded.py::test_pallas_agg_under_shard_map."""
     import dataclasses
 
     cfg, _, _ = runner_setup
