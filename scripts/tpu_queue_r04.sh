@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 TPU measurement queue. ONE TPU job at a time; run only after the
+# quality run (runs/quality_r04.log) has released the chip.
+set -u
+cd /root/repo
+mkdir -p runs
+LOG=runs/tpu_queue_r04.log
+: > "$LOG"
+
+run() {
+  echo "=== $(date +%H:%M:%S) $* ===" >> "$LOG"
+  timeout 4200 "$@" >> "$LOG" 2>&1
+  echo "--- exit=$? $(date +%H:%M:%S)" >> "$LOG"
+}
+
+# 1. TRAINBENCH anchor: the shipped default (pallas + bf16) at 256^3 with
+#    the round-4 corrected window bound (VERDICT item 3 needs the before/
+#    after; r03 anchor was 2187 ms with the old windows)
+run python scripts/bench_train.py --modes packed --iters 8 --dims 256 \
+  --agg-packed pallas --bf16 --out runs/tb_256_pallas_bf16_r04.json
+
+# 2. MFU / roofline at the DEFAULT config (VERDICT item 3: r03's artifact
+#    was measured with agg_packed=table; the shipped default is pallas)
+run python scripts/mfu.py --dims 256 --bf16 --agg-packed pallas \
+  --out MFU_r04.json
+
+# 3. render plateau (VERDICT item 5a): ray-chunk sweep — populations below
+#    ~256k gather rows pay a 2-6x addressing ramp-up (GATHER_PROBE), and
+#    bench.py's 1024-ray chunks sit at 131k render-core rows
+run python scripts/bench_variants.py --rays-sweep 1024,2048,4096,8192 \
+  --out runs/rays_sweep_r04.json
+
+# 4. fresh headline render number + warm compile cache for the driver's
+#    round-end bench.py run
+run python bench.py
+
+echo "QUEUE R04 DONE $(date +%H:%M:%S)" >> "$LOG"
