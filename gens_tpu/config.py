@@ -138,6 +138,14 @@ class SDFNetConfig:
     # 6N-row gather beats 5 per-scale gathers + a mask gather of N rows
     # each. Gradient-free/inference only; training keeps per-scale tables.
     fused_packed: bool = False
+    # with fused_packed: use the fused single-gather ONLY for the
+    # hierarchical-sampling SDF probes (4 rounds x ~16k points — deep in
+    # the gather ramp-up regime where one 6N-row gather wins) while
+    # render_core keeps the per-scale packed gathers (131k+ points, where
+    # the merged gather measured SLOWER because XLA fuses each per-scale
+    # gather into its weight contraction). Separates the two population
+    # regimes the round-3 A/B conflated.
+    fused_sampling_only: bool = False
     # compute dtype of the SDF MLP ("float32" | "bfloat16"). Params are
     # always stored f32; bfloat16 casts the PE'd activations and the
     # weight-normed weights at matmul time and returns f32 outputs. The

@@ -271,7 +271,8 @@ class Renderer:
         dirs_flat = dirs.reshape(-1, 3)
 
         fused = (not train and scene.fused_cascade is not None
-                 and scene.fused_cascade.mask_offset is not None)
+                 and scene.fused_cascade.mask_offset is not None
+                 and not self.sdf.cfg.fused_sampling_only)
         if train:
             voxel_mask = lookup_mask(mask_any, pts_flat)  # (R*S,)
             sdf_out, gradients, smooth = self.sdf_value_grad_smooth(

@@ -58,15 +58,29 @@ def run_variant(name, mutate, n_views=3, hw=(480, 640), n_rays=1024,
     return r
 
 
+# NB flags are set EXPLICITLY (apply_inference_fast_paths no longer enables
+# the fused merges after the round-3 negative result, so "unset-only"
+# lambdas would all be identical no-ops)
 VARIANTS = {
     "baseline_r02": lambda c: (
         setattr(c.model.sdf_network, "fused_packed", False),
         setattr(c.model.color_network, "fused_pyramid", False)),
     "fused_cascade_only": lambda c: (
-        setattr(c.model.color_network, "fused_pyramid", False),),
+        setattr(c.model.sdf_network, "fused_packed", True),
+        setattr(c.model.color_network, "fused_pyramid", False)),
     "fused_pyramid_only": lambda c: (
-        setattr(c.model.sdf_network, "fused_packed", False),),
-    "fused_both": lambda c: (),
+        setattr(c.model.sdf_network, "fused_packed", False),
+        setattr(c.model.color_network, "fused_pyramid", True)),
+    "fused_both": lambda c: (
+        setattr(c.model.sdf_network, "fused_packed", True),
+        setattr(c.model.color_network, "fused_pyramid", True)),
+    # round-4: fused single-gather ONLY for the hierarchical-sampling
+    # probes (tiny populations, gather-ramp-up regime); render_core keeps
+    # per-scale gathers (where fused measured slower in round 3)
+    "fused_sampling_only": lambda c: (
+        setattr(c.model.sdf_network, "fused_packed", True),
+        setattr(c.model.sdf_network, "fused_sampling_only", True),
+        setattr(c.model.color_network, "fused_pyramid", False)),
 }
 
 

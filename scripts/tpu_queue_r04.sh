@@ -30,8 +30,34 @@ run python scripts/mfu.py --dims 256 --bf16 --agg-packed pallas \
 run python scripts/bench_variants.py --rays-sweep 1024,2048,4096,8192 \
   --out runs/rays_sweep_r04.json
 
+# 3b. fused single-gather ONLY in the hierarchical-sampling probes (the
+#     tiny-population regime the round-3 everywhere-fused A/B conflated)
+run python scripts/bench_variants.py \
+  --variants baseline_r02,fused_sampling_only \
+  --out runs/fused_sampling_ab_r04.json
+
 # 4. fresh headline render number + warm compile cache for the driver's
 #    round-end bench.py run
 run python bench.py
+
+# 5. reference-recipe feasibility (VERDICT item 6): the FULL Runner train
+#    path (not the benched step fn) at reference scale — synthetic data,
+#    256^3 cascade, 5 views, 480x640, 512 rays, 64+64 samples, pallas+bf16,
+#    multi-epoch with checkpoint + val cycles (val renders images + exports
+#    a mesh). Done = N steps, no OOM/NaN, meshes + ckpts in
+#    runs/feasibility_r04/.
+run python -m gens_tpu.main --conf confs/synthetic.yaml --mode train --set \
+  base_exp_dir=runs/feasibility_r04 \
+  'model.volume.volume_dims=[256,128,64,32,16]' \
+  model.volume.packed_bilerp=pallas model.volume.dtype=bfloat16 \
+  model.reg_network.dtype=bfloat16 \
+  model.sdf_network.volume_dtype=bfloat16 model.sdf_network.mlp_dtype=bfloat16 \
+  model.color_network.packed_dtype=bfloat16 \
+  model.color_network.mlp_dtype=bfloat16 \
+  model.render.n_samples=64 model.render.n_importance=64 \
+  'train_dataset.img_hw=[480,640]' train_dataset.num_src_view=4 \
+  'val_dataset.img_hw=[480,640]' val_dataset.val_res_level=4 \
+  train.epochs=40 train.save_freq=10 train.val_freq=20 \
+  train.log_freq=0.25 --mesh_resolution 192
 
 echo "QUEUE R04 DONE $(date +%H:%M:%S)" >> "$LOG"

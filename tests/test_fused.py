@@ -145,12 +145,19 @@ def test_fused_render_matches_plain():
     cfg_fused.model.sdf_network.fused_packed = True
     cfg_fused.model.color_network.packed_bilerp = True
     cfg_fused.model.color_network.fused_pyramid = True
+    # round-4 mixed mode: fused single-gather only for the hierarchical-
+    # sampling probes, per-scale gathers in render_core
+    cfg_mixed = small(Config())
+    cfg_mixed.model.sdf_network.packed_trilerp = True
+    cfg_mixed.model.sdf_network.fused_packed = True
+    cfg_mixed.model.sdf_network.fused_sampling_only = True
+    cfg_mixed.model.color_network.packed_bilerp = True
 
     raw = make_scene(n_views=3, hw=(32, 64), n_rays=32)
     inputs = {k: jnp.asarray(v) for k, v in raw.items() if k != "radius"}
 
     outs = []
-    for cfg in (cfg_plain, cfg_fused):
+    for cfg in (cfg_plain, cfg_fused, cfg_mixed):
         model = GenSModel(cfg.model)
         params = model.init_params(jax.random.PRNGKey(0), n_src_views=2)
         scene = model.build_scene(params, inputs["imgs"], inputs["intrs"],
@@ -163,6 +170,7 @@ def test_fused_render_matches_plain():
 
     for k in ("color_fine", "render_depth", "sdf_depth", "normal",
               "weight_sum"):
-        np.testing.assert_allclose(
-            np.asarray(outs[0][k]), np.asarray(outs[1][k]),
-            rtol=1e-4, atol=2e-4, err_msg=k)
+        for other in outs[1:]:
+            np.testing.assert_allclose(
+                np.asarray(outs[0][k]), np.asarray(other[k]),
+                rtol=1e-4, atol=2e-4, err_msg=k)
