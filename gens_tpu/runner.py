@@ -72,6 +72,18 @@ def to_device(inputs: Dict) -> Dict:
             if isinstance(v, np.ndarray)}
 
 
+def subsample_to_val_grid(full: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Index a full-resolution reference map at the val ray grid's actual
+    pixels. The datasets build the val grid as floor(linspace(0, dim-1, n))
+    (data/dtu.py, data/synthetic.py) — a plain ``[::stride]`` slice only
+    matches when the stride divides the image, and silently misaligns the
+    depth metric otherwise (the reference indexes GT depth at the ray
+    pixels, runner.py:251-263)."""
+    ty = np.linspace(0, full.shape[0] - 1, h).astype(np.int64)
+    tx = np.linspace(0, full.shape[1] - 1, w).astype(np.int64)
+    return full[ty[:, None], tx[None, :]]
+
+
 class Runner:
     def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
@@ -594,15 +606,8 @@ class Runner:
             scalars = {"psnr": 20.0 * np.log10(1.0 / np.sqrt(mse + 1e-12)),
                        "color_loss": float(np.abs(color - gt).mean())}
 
-            # index the GT depth at the val grid's actual ray pixels — the
-            # datasets build the grid as floor(linspace(0, dim-1, n)), which
-            # a plain stride slice only matches when the stride divides the
-            # image (the reference indexes GT depth at the ray pixels too,
-            # runner.py:251-263)
-            depth_ref = np.asarray(raw["depth_ref"])
-            ty = np.linspace(0, depth_ref.shape[0] - 1, h).astype(np.int64)
-            tx = np.linspace(0, depth_ref.shape[1] - 1, w).astype(np.int64)
-            depth_ref = depth_ref[ty[:, None], tx[None, :]]
+            depth_ref = subsample_to_val_grid(
+                np.asarray(raw["depth_ref"]), h, w)
             dmask = (depth_ref > 0).astype(np.float32)
             for name in ("render_depth", "sdf_depth"):
                 d = rend[name].reshape(h, w)

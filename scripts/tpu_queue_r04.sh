@@ -60,4 +60,12 @@ run python -m gens_tpu.main --conf confs/synthetic.yaml --mode train --set \
   train.epochs=40 train.save_freq=10 train.val_freq=20 \
   train.log_freq=0.25 --mesh_resolution 192
 
+# 6. 256^3 quality evidence (cheap variant of VERDICT item 2's "ideally
+#    one 256^3 run"): one-shot held-out evaluation of the 22k-step
+#    checkpoint with the volume cascade REBUILT at 256^3 (networks are
+#    resolution-independent; no 256^3 training time required)
+run python scripts/quality_synthetic.py --phase eval --steps-b 16000 \
+  --hw 480 --w 640 --dims 256 --samples 64 --bf16 --agg-packed pallas \
+  --mesh-res 256 --out QUALITY_r04_256.json
+
 echo "QUEUE R04 DONE $(date +%H:%M:%S)" >> "$LOG"

@@ -291,3 +291,25 @@ def test_train_pallas_auto_windows(runner_setup):
     assert isinstance(sw, list) and len(sw) == 5, sw
     assert all(isinstance(w, tuple) and len(w) == 2 for w in sw), sw
     assert int(runner.state.step) == 1
+
+
+def test_subsample_to_val_grid_matches_dataset_pixels():
+    """validate()'s GT-depth subsample must pick the SAME pixels the
+    datasets' val ray grid samples (floor(linspace)) — a stride slice
+    diverges whenever the stride does not divide the image (VERDICT r03
+    weak #8: H=100 at level 8 -> 12 rows; [::8][:12] reads row 88 where
+    the ray grid reads row 99)."""
+    from gens_tpu.runner import subsample_to_val_grid
+
+    H, W, lvl = 100, 130, 8
+    full = np.arange(H * W, dtype=np.float32).reshape(H, W)
+    h, w = H // lvl, W // lvl
+    # the datasets' val pixel law (data/dtu.py, data/synthetic.py)
+    ty = np.linspace(0, H - 1, h).astype(np.int64)
+    tx = np.linspace(0, W - 1, w).astype(np.int64)
+    expect = full[ty[:, None], tx[None, :]]
+    got = subsample_to_val_grid(full, h, w)
+    np.testing.assert_array_equal(got, expect)
+    # and the old stride slice demonstrably differs on this shape
+    old = full[::H // h, ::W // w][:h, :w]
+    assert not np.array_equal(old, expect)
