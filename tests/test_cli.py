@@ -57,3 +57,28 @@ def test_cli_train_writes_checkpoint_and_logs():
 def test_cli_bad_flag_rejected():
     with pytest.raises(SystemExit):
         main(["--mode", "explode"])
+
+
+def test_all_shipped_confs_load():
+    """Every confs/*.yaml parses into the typed Config (unknown keys raise
+    KeyError in _from_dict, so this catches schema drift — e.g. a conf
+    shipping a knob that was renamed in config.py)."""
+    import glob
+    import os
+
+    from gens_tpu.config import Config, load_config
+
+    confs = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "confs", "*.yaml")))
+    assert len(confs) >= 5, confs  # dtu, dtu_finetune, bmvs, bmvs_finetune,
+    for path in confs:             # synthetic
+        cfg = load_config(path)
+        assert isinstance(cfg, Config), path
+    # the DTU conf ships the pallas default this round's fixes harden
+    dtu = load_config([p for p in confs if p.endswith("/dtu.yaml")][0])
+    assert dtu.model.volume.packed_bilerp == "pallas"
+    assert dtu.model.volume.splat_window == "auto"
+    ftb = load_config([p for p in confs
+                       if p.endswith("bmvs_finetune.yaml")][0])
+    assert ftb.finetune_dataset.dataset_name == "bmvs"
