@@ -362,6 +362,49 @@ def required_window(intrs: np.ndarray, c2ws: np.ndarray, dim: int,
     return wu, wv
 
 
+def exact_tile_spans(intr: np.ndarray, c2w: np.ndarray, dim: int,
+                     hw: Tuple[int, int], slab: int = None
+                     ) -> Tuple[int, int]:
+    """EXACT worst-case projected (u, v) span over the actual (1, 16, 16)
+    voxel tiles of one view — the ground truth `required_window` bounds
+    (ADVICE r03: "validate by projecting actual 16x16 voxel tiles of the
+    rig and measuring real spans"). Host-side numpy over all dim³ voxel
+    centers; use for validation/tests and one-off sizing, not the per-scene
+    guard (at 256³ this is ~17M projections per view).
+
+    Replicates the kernel's live-query semantics: out-of-frustum queries
+    carry zero cotangent (aggregate_scale masks them), so only in-frustum
+    positions count toward a tile's span. Returns ceil spans + the +2
+    bilinear footprint the window must additionally cover.
+    """
+    H, W = hw
+    r = np.linspace(-1, 1, dim, dtype=np.float64)
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    w2c = np.linalg.inv(np.asarray(c2w, np.float64))
+    cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    uvw = cam @ np.asarray(intr, np.float64).T
+    z = uvw[:, 2]
+    xy = uvw[:, :2] / np.where(np.abs(z[:, None]) < 1e-8, 1e-8, z[:, None])
+    # the kernel sees LIVE (nonzero-cotangent) queries = aggregate_scale's
+    # in-image mask (normalized coords <= 1 and depth > 0)
+    nx = xy[:, 0] / ((W - 1) / 2.0) - 1.0
+    ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
+    live = (np.abs(nx) <= 1) & (np.abs(ny) <= 1) & (cam[:, 2] > 0)
+    # tile exactly as tile_grid_queries does over the (S, Y, Z) layout used
+    # by aggregate_scale (x-slabs outermost; tiles span y, z)
+    assert dim % _TY == 0 and dim % _TZ == 0, dim
+    xy_t = xy.reshape(dim, dim // _TY, _TY, dim // _TZ, _TZ, 2)
+    xy_t = np.transpose(xy_t, (0, 1, 3, 2, 4, 5)).reshape(-1, TILE, 2)
+    m_t = live.reshape(dim, dim // _TY, _TY, dim // _TZ, _TZ)
+    m_t = np.transpose(m_t, (0, 1, 3, 2, 4)).reshape(-1, TILE)
+    hi = np.where(m_t[..., None], xy_t, -np.inf).max(axis=1)
+    lo = np.where(m_t[..., None], xy_t, np.inf).min(axis=1)
+    span = np.maximum(hi - lo, 0.0)  # all-dead tiles -> 0
+    wu, wv = np.ceil(span.max(axis=0)).astype(int).tolist()
+    return wu + 2, wv + 2  # + bilinear footprint
+
+
 def assert_window_covers(splat_window, volume_dims, intrs: np.ndarray,
                          c2ws: np.ndarray, hw: Tuple[int, int]) -> None:
     """Per-scene runtime guard (VERDICT r03 missing #5): raise ValueError

@@ -284,3 +284,29 @@ def test_resolve_splat_impl():
     assert resolve_splat_impl("auto") == expect
     with pytest.raises(AssertionError):
         resolve_splat_impl("bogus")
+
+
+def test_required_window_bounds_exact_tile_spans():
+    """Property check of the ADVICE r03 fix: the Jacobian-SUM bound must
+    cover the EXACT projected span of every actual (1,16,16) voxel tile,
+    for random rigs including oblique views and close orbits (where the
+    old cross-axis-max bound undercounted by up to 2x)."""
+    from gens_tpu.ops.pallas_splat import exact_tile_spans
+    from tests.test_volume import look_at
+
+    H, W = 72, 96
+    f = 70.0
+    intr = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    rng = np.random.RandomState(5)
+    for dim in (32, 64):
+        for trial in range(6):
+            dist = 1.8 + 2.5 * rng.uniform()
+            eye = rng.randn(3)
+            eye = dist * eye / np.linalg.norm(eye)
+            # oblique target offset tilts the view vs the grid axes
+            tgt = 0.3 * rng.randn(3)
+            c2w = look_at(eye.astype(np.float32), tgt.astype(np.float32))
+            bound = required_window(intr[None], c2w[None], dim, (H, W))
+            exact = exact_tile_spans(intr, c2w, dim, (H, W))
+            assert bound[0] >= exact[0] and bound[1] >= exact[1], (
+                dim, trial, bound, exact)
