@@ -82,6 +82,14 @@ class VolumeConfig:
     # this mode already runs) or "float32" (bit-exact adjoint via
     # Precision.HIGHEST)
     splat_mm_dtype: str = "bfloat16"
+    # remat policy of the per-view aggregation contribution: "full"
+    # (recompute everything in the backward — minimum HBM; the backward
+    # re-runs the supercell GATHERS, ~83M bf16 rows at 256³ scale 0) or
+    # "save_gathers" (jax.checkpoint save_only_these_names on the gathered
+    # values: the backward recomputes only projection math + elementwise,
+    # costing ~1.5 GB extra residents at 256³/5 views f32 — fits the
+    # measured 9/16 GiB headroom, TRAINBENCH_r03)
+    agg_remat: str = "full"
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made
     # functional; emits C channels/scale, so set reg_network.d_volume to

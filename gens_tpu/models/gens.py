@@ -161,7 +161,8 @@ class GenSModel:
                 packed_bilerp=self.cfg.volume.packed_bilerp,
                 splat_window=self.cfg.volume.splat_window,
                 splat_impl=self.cfg.volume.splat_impl,
-                splat_mm_dtype=self.cfg.volume.splat_mm_dtype)
+                splat_mm_dtype=self.cfg.volume.splat_mm_dtype,
+                agg_remat=self.cfg.volume.agg_remat)
         # remat: the U-Net's 256³ activations are cheap to recompute (~60 ms)
         # and expensive to keep across the whole render backward (~2 GB)
         reg_apply = jax.checkpoint(

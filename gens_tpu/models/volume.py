@@ -17,11 +17,13 @@ uneven view counts pad cleanly.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as _nn
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from gens_tpu.ops.interp import (bilerp, bilerp_packed_diff, bilerp_supercell,
                                  bilerp_supercell_mixed, pack_supercell2d)
@@ -48,7 +50,8 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                     view_valid: Optional[jnp.ndarray] = None,
                     out_dtype=None, packed_bilerp: bool = False,
                     splat_window: int = 48, splat_impl: str = "auto",
-                    splat_mm_dtype: str = "bfloat16"):
+                    splat_mm_dtype: str = "bfloat16",
+                    agg_remat: str = "full"):
     """One cascade scale.
 
     feat: (V, H_i, W_i, C) view features at scale ``scale_idx``;
@@ -141,7 +144,21 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         ], axis=-1).reshape(-1, 3)
         Ns = pts.shape[0]
 
-        @jax.checkpoint
+        # remat policy: "full" recomputes the whole contribution in the
+        # backward (minimum HBM — but the recompute re-runs the supercell
+        # GATHERS, the addressing-bound op this whole module optimizes);
+        # "save_gathers" keeps the gathered values as residuals
+        # (checkpoint_name tag) so the backward recomputes only projection
+        # math + elementwise
+        if agg_remat == "save_gathers":
+            remat = functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "agg_vals"))
+        else:
+            remat = jax.checkpoint
+
+        @remat
         def contribution(feat_v, table_v, table_lo_v, intr_v, c2w_v, valid_v):
             with jax.default_matmul_precision("highest"):
                 w2c = jnp.linalg.inv(c2w_v)
@@ -169,6 +186,7 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                                         feat_v, table_lo_v, xy)
             else:
                 vals = bilerp_packed_diff(feat_v, table_v, packed.dims, xy)
+            vals = _checkpoint_name(vals, "agg_vals")
             vm = vals * mask[..., None]
             return vm, vm ** 2, mask
 
@@ -261,7 +279,7 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
                  view_valid: Optional[jnp.ndarray] = None,
                  out_dtype=None, packed_bilerp: bool = False,
                  splat_window: int = 48, splat_impl: str = "auto",
-                 splat_mm_dtype: str = "bfloat16"
+                 splat_mm_dtype: str = "bfloat16", agg_remat: str = "full"
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Build the full cascade. ``features[i]``: (V, H_i, W_i, C) fine-to-coarse.
 
@@ -282,6 +300,7 @@ def agg_mean_var(features: Sequence[jnp.ndarray], intrs: jnp.ndarray,
             view_valid=view_valid, out_dtype=out_dtype,
             packed_bilerp=packed_bilerp, splat_window=sw,
             splat_impl=splat_impl, splat_mm_dtype=splat_mm_dtype,
+            agg_remat=agg_remat,
         )
         volumes.append(vol)
         masks.append(m)

@@ -245,3 +245,39 @@ def test_table_bf16_aggregation(rng):
     # (mean) path is exact
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_agg_remat_save_gathers_identical_gradients(rng):
+    """agg_remat="save_gathers" (checkpoint policy keeping the gathered
+    values as residuals, skipping the backward re-gather) is a pure
+    scheduling change — values AND gradients must be bit-identical to the
+    default full-remat path, in both "table" and "pallas" modes."""
+    V, H, W, C = 3, 48, 48, 4
+    dim = 32  # divisible by 16 so the pallas mode runs its real path
+    intrs, c2ws = _cams(V, (H, W), f=40.0)
+    feat = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+    intrs = jnp.asarray(intrs)
+    c2ws = jnp.asarray(c2ws)
+
+    for mode in ("table", "pallas"):
+        kw = dict(packed_bilerp=mode)
+        if mode == "pallas":
+            from gens_tpu.ops.pallas_splat import required_window
+
+            kw["splat_window"] = tuple(
+                max(w, 16) for w in required_window(
+                    np.asarray(intrs), np.asarray(c2ws), dim, (H, W)))
+
+        def loss(f, remat):
+            vol, _ = aggregate_scale(f, intrs, c2ws, dim, 0,
+                                     agg_remat=remat, **kw)
+            return jnp.sum(vol * jnp.cos(
+                jnp.arange(vol.size, dtype=jnp.float32).reshape(vol.shape)))
+
+        v_full = jax.jit(lambda f: loss(f, "full"))(feat)
+        v_save = jax.jit(lambda f: loss(f, "save_gathers"))(feat)
+        np.testing.assert_array_equal(np.asarray(v_full), np.asarray(v_save))
+        g_full = jax.jit(jax.grad(lambda f: loss(f, "full")))(feat)
+        g_save = jax.jit(jax.grad(lambda f: loss(f, "save_gathers")))(feat)
+        np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_save),
+                                   rtol=2e-3, atol=1e-4)
