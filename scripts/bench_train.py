@@ -41,6 +41,7 @@ def measure(packed: bool, args):
     m.sdf_network.packed_trilerp = packed
     m.color_network.packed_bilerp = packed
     m.volume.packed_bilerp = args.agg_packed
+    m.volume.agg_remat = args.agg_remat
     if args.bf16:
         m.sdf_network.volume_dtype = "bfloat16"
         m.color_network.packed_dtype = "bfloat16"
@@ -133,6 +134,11 @@ def main():
                    help="packed bilerp in volume aggregation: bare flag = "
                         "'diff' (raw-map scatter), 'table' = scatter into "
                         "supercell rows + pack-conv transpose")
+    p.add_argument("--agg-remat", default="full",
+                   choices=["full", "save_gathers"],
+                   help="aggregation remat policy (volume.agg_remat): "
+                        "save_gathers keeps gathered values as residuals "
+                        "so the backward skips the supercell re-gather")
     p.add_argument("--splat-window", default="auto",
                    help="'auto' = per-scale required_windows_cascade of the "
                         "bench rig; or a fixed int for all scales")

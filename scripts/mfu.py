@@ -81,6 +81,11 @@ def main():
     p.add_argument("--agg-packed", nargs="?", const="diff",
                    default="table",
                    choices=[False, "diff", "table", "table_bf16", "pallas"])
+    p.add_argument("--agg-remat", default="full",
+                   choices=["full", "save_gathers"],
+                   help="aggregation remat policy (volume.agg_remat): "
+                        "save_gathers keeps gathered values as residuals "
+                        "so the backward skips the supercell re-gather")
     p.add_argument("--splat-window", default="auto",
                    help="'auto' = per-scale required_windows_cascade of the "
                         "bench rig; or a fixed int for all scales")
@@ -111,6 +116,7 @@ def main():
     m = cfg.model
     m.volume.volume_dims = tuple(max(args.dims >> i, 2) for i in range(5))
     m.volume.packed_bilerp = args.agg_packed
+    m.volume.agg_remat = args.agg_remat
     if args.bf16:
         m.volume.dtype = "bfloat16"
         m.reg_network.dtype = "bfloat16"
@@ -223,7 +229,8 @@ def main():
             feats = [jit_img(i, f) for f in feats]
             vols, _ = agg_mean_var(feats, intrs, c2ws, m.volume.volume_dims,
                                    packed_bilerp=m.volume.packed_bilerp,
-                                   splat_window=m.volume.splat_window)
+                                   splat_window=m.volume.splat_window,
+                                   agg_remat=m.volume.agg_remat)
             return sum(jnp.sum(v).astype(jnp.float32) for v in vols)
 
         def agg_bwd(i, feats, intrs, c2ws):
@@ -231,7 +238,8 @@ def main():
                 fs = [jit_img(i, f) for f in fs_in]
                 vols, _ = agg_mean_var(fs, intrs, c2ws, m.volume.volume_dims,
                                        packed_bilerp=m.volume.packed_bilerp,
-                                       splat_window=m.volume.splat_window)
+                                       splat_window=m.volume.splat_window,
+                                       agg_remat=m.volume.agg_remat)
                 return sum(jnp.sum(v ** 2).astype(jnp.float32) for v in vols)
             g = jax.grad(loss)(list(feats))
             return sum(jnp.sum(x) for x in g).astype(jnp.float32)

@@ -19,6 +19,12 @@ run() {
 run python scripts/bench_train.py --modes packed --iters 8 --dims 256 \
   --agg-packed pallas --bf16 --out runs/tb_256_pallas_bf16_r04.json
 
+# 1b. A/B the save_gathers remat policy (skips the backward's supercell
+#     re-gather at ~1.5 GB extra residents) at the same config
+run python scripts/bench_train.py --modes packed --iters 8 --dims 256 \
+  --agg-packed pallas --bf16 --agg-remat save_gathers \
+  --out runs/tb_256_pallas_bf16_savegathers_r04.json
+
 # 2. MFU / roofline at the DEFAULT config (VERDICT item 3: r03's artifact
 #    was measured with agg_packed=table; the shipped default is pallas)
 run python scripts/mfu.py --dims 256 --bf16 --agg-packed pallas \
