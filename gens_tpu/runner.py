@@ -217,9 +217,11 @@ class Runner:
         here (host-side, at data-load time) instead of silently dropping
         gradient mass in the kernel (VERDICT r03 missing #5 — the probe
         sample behind ``_auto_splat_windows`` bounds typical rigs, not an
-        adversarial outlier scene). Cached per distinct camera set: DTU/
-        BMVS rigs repeat across scans, so the ~50 ms numpy probe runs a
-        handful of times per run, on the prefetch thread."""
+        adversarial outlier scene). Cached per distinct camera set. DTU's
+        random 4-of-6 source selection yields up to 15 subsets per meta,
+        so the ~0.1 s numpy probe recurs through the first epochs — on the
+        prefetch thread, overlapped with the 0.7-2.2 s device step, and
+        decaying to zero as the cache fills."""
         vol = self.cfg.model.volume
         if vol.packed_bilerp != "pallas":
             return item
