@@ -497,6 +497,18 @@ def main():
                 (int(u * 1.25) + 1, int(v * 1.25) + 1) for u, v in wins]
             print("pallas splat windows:", cfg.model.volume.splat_window,
                   flush=True)
+            # the probe covers a SAMPLE of scenes; verify the sized windows
+            # against EVERY scene this run will actually touch (the Runner
+            # does the same per-scene at data-load time — r04 guard)
+            from gens_tpu.ops.pallas_splat import assert_window_covers
+            for i in list(range(args.n_train_scenes)) + [-1, -2]:
+                raw = make_scene(n_views=args.train_views, hw=hw, n_rays=8,
+                                 seed=0, spread=args.spread,
+                                 **scene_params(i))
+                assert_window_covers(cfg.model.volume.splat_window,
+                                     cfg.model.volume.volume_dims,
+                                     np.asarray(raw["intrs"]),
+                                     np.asarray(raw["c2ws"]), hw)
         return cfg
 
     model = None
