@@ -74,11 +74,7 @@ def measure(n_devices: int, rays_per_device: int = 1024, iters: int = 10,
             return acc + jnp.sum(out["color_fine"])
         # the carry becomes varying over the rays axis inside the body;
         # mark the init accordingly (JAX>=0.9 checks manual-axis vma)
-        acc0 = jnp.float32(0.0)
-        try:
-            acc0 = jax.lax.pvary(acc0, ("rays",))
-        except AttributeError:
-            acc0 = jax.lax.pcast(acc0, ("rays",), to="varying")
+        acc0 = jax.lax.pcast(jnp.float32(0.0), ("rays",), to="varying")
         acc = jax.lax.fori_loop(0, iters, body, acc0)
         return jax.lax.psum(acc, "rays")
 
