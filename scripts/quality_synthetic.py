@@ -249,6 +249,13 @@ def main():
                         "(e.g. the 64^3 round-2 quality_gen.ckpt — all "
                         "networks are resolution-independent)")
     p.add_argument("--mesh-res", type=int, default=192)
+    p.add_argument("--agg-remat", default="full",
+                   choices=["full", "save_gathers"],
+                   help="volume.agg_remat policy for the train step")
+    p.add_argument("--skip-eval", action="store_true",
+                   help="phase b: save the checkpoint and skip the held-out "
+                        "evals (for curriculum stages that only feed a "
+                        "later stage's --resume-from)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="QUALITY_r03.json")
     args = p.parse_args()
@@ -480,6 +487,7 @@ def main():
         Runner._auto_splat_windows, over a sample of fixture scenes."""
         cfg = build_config(n_steps, dims=args.dims, samples=args.samples,
                            bf16=args.bf16, agg=args.agg_packed)
+        cfg.model.volume.agg_remat = args.agg_remat
         if args.agg_packed == "pallas":
             from gens_tpu.ops.pallas_splat import required_windows_cascade
             wins = None
@@ -568,24 +576,30 @@ def main():
         state, curve, msps, tc = run_training(
             model, cfg, batches, args.steps_b, "gen",
             init_params=init_params,
-            inflight_path="runs/quality_gen_inflight.ckpt")
+            inflight_path=(f"runs/quality_gen_inflight_{args.dims}"
+                           f"_{args.steps_b}.ckpt"))
         results["gen_curve"] = curve
         results["gen_ms_per_step"] = msps
         results["gen_compile_s"] = tc
-        kw_held = scene_params(-1)
-        results.update(eval_scene(model, state.params, kw_held, "heldout"))
-        flush()
-        # the HELD-OUT two-sphere scene: non-convex geometry never trained on
-        kw_held2 = scene_params(-2)
-        results.update(eval_scene(model, state.params, kw_held2,
-                                  "heldout_union"))
-        flush()
-        # also score one TRAINED scene for the train/val gap
-        kw0 = scene_params(0)
-        results.update(eval_scene(model, state.params, kw0, "trained"))
+        # checkpoint BEFORE the evals so an eval crash cannot lose the run
         save_checkpoint("runs/quality_gen.ckpt",
                         {"epoch": 0, "step": args.steps_b,
                          "params": state.params})
+        flush()
+        if not args.skip_eval:
+            kw_held = scene_params(-1)
+            results.update(eval_scene(model, state.params, kw_held,
+                                      "heldout"))
+            flush()
+            # the HELD-OUT two-sphere scene: non-convex geometry never
+            # trained on
+            kw_held2 = scene_params(-2)
+            results.update(eval_scene(model, state.params, kw_held2,
+                                      "heldout_union"))
+            flush()
+            # also score one TRAINED scene for the train/val gap
+            kw0 = scene_params(0)
+            results.update(eval_scene(model, state.params, kw0, "trained"))
 
     if args.phase == "ft":
         # Per-scene finetune regime quality (the reference's third run mode,
