@@ -50,7 +50,8 @@ class VolumeConfig:
     # measured 710 ms/step at 128³ / 3052 at 256³ full scale on v5e
     # (TRAINBENCH_r03.json; exactness vs plain pinned in
     # tests/test_volume.py); "pallas" (below) is the fastest measured
-    # (2187 ms at 256³) and is what confs/dtu.yaml ships — NB unlike
+    # (2207 ms at 256³ with the r04 safety-corrected windows; 1909 ms with
+    # agg_remat="save_gathers") and is what confs/dtu.yaml ships — NB unlike
     # "table"/"table_bf16" its backward matmuls run bf16 operands by
     # default (~2^-8 relative gradient rounding; set splat_mm_dtype to
     # "float32" for the bit-exact adjoint at ~1/4 the MXU rate).
@@ -88,7 +89,10 @@ class VolumeConfig:
     # "save_gathers" (jax.checkpoint save_only_these_names on the gathered
     # values: the backward recomputes only projection math + elementwise,
     # costing ~1.5 GB extra residents at 256³/5 views f32 — fits the
-    # measured 9/16 GiB headroom, TRAINBENCH_r03)
+    # measured 9/16 GiB headroom). Measured at 256³ full scale with the
+    # pallas backward: 1909 ms/step save_gathers vs 2207 full
+    # (runs/tb_256_pallas_bf16*_r04.json); confs/dtu.yaml ships
+    # save_gathers.
     agg_remat: str = "full"
     # cross-view aggregation: "mean_var" (reference live path) or "adaptive"
     # (learned softmax weighting — the reference's dead agg_adaptive made

@@ -252,6 +252,8 @@ def main():
     p.add_argument("--agg-remat", default="full",
                    choices=["full", "save_gathers"],
                    help="volume.agg_remat policy for the train step")
+    p.add_argument("--inflight-every", type=int, default=1000,
+                   help="phase b: in-flight checkpoint cadence (steps)")
     p.add_argument("--skip-eval", action="store_true",
                    help="phase b: save the checkpoint and skip the held-out "
                         "evals (for curriculum stages that only feed a "
@@ -373,6 +375,13 @@ def main():
                   flush=True)
         _, step_fn = make_train_step(model, cfg, steps_per_epoch=1)
         curve = []
+        if start_step >= n_steps:
+            # an in-flight checkpoint at/past the target: nothing to train
+            # (re-invoking with a lower --steps-b cuts a run short and
+            # proceeds straight to the evals)
+            print(f"[{tag}] in-flight step {start_step} >= {n_steps}: "
+                  f"skipping training", flush=True)
+            return state, curve, 0.0, 0.0
         t0 = time.time()
         t_compile = None
         step = start_step
@@ -576,8 +585,8 @@ def main():
         state, curve, msps, tc = run_training(
             model, cfg, batches, args.steps_b, "gen",
             init_params=init_params,
-            inflight_path=(f"runs/quality_gen_inflight_{args.dims}"
-                           f"_{args.steps_b}.ckpt"))
+            inflight_path=f"runs/quality_gen_inflight_{args.dims}.ckpt",
+            save_every=args.inflight_every)
         results["gen_curve"] = curve
         results["gen_ms_per_step"] = msps
         results["gen_compile_s"] = tc

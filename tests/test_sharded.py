@@ -81,7 +81,7 @@ def test_pallas_agg_under_shard_map(setup):
     cfg_p.model = _dc.replace(cfg.model)
     cfg_p.model.volume = _dc.replace(
         cfg.model.volume, packed_bilerp="pallas", splat_window=(64, 64),
-        splat_impl="auto")
+        splat_impl="auto", agg_remat="save_gathers")
     model_p = GenSModel(cfg_p.model)
 
     mesh = make_mesh(2, 2, jax.devices("cpu")[:4])
