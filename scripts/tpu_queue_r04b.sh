@@ -50,7 +50,7 @@ echo "FEASIBILITY DONE $(date +%H:%M:%S)" >> "$LOG"
 # round planned to resume from was lost with runs/. skip-eval: this stage
 # only feeds stage 2's --resume-from.
 run 4500 python scripts/quality_synthetic.py --phase b --steps-b 9000 \
-  --dims 64 --hw 128 --samples 32 --rays 512 --agg-packed pallas --bf16 \
+  --dims 64 --hw 128 --samples 32 --rays 512 --agg-packed pallas --bf16 --agg-remat save_gathers \
   --skip-eval --out runs/QUALITY_r04_stage1.json
 echo "STAGE1 DONE $(date +%H:%M:%S)" >> "$LOG"
 
@@ -62,7 +62,8 @@ echo "STAGE1 DONE $(date +%H:%M:%S)" >> "$LOG"
 # re-invoke with lower --steps-b cuts the run short straight to evals.
 run 7200 python scripts/quality_synthetic.py --phase b --steps-b 4300 \
   --dims 128 --hw 480 --w 640 --samples 64 --rays 512 \
-  --agg-packed pallas --bf16 --resume-from runs/quality_gen.ckpt \
+  --agg-packed pallas --bf16 --agg-remat save_gathers \
+  --resume-from runs/quality_gen.ckpt \
   --inflight-every 500 --mesh-res 192 --out QUALITY_r04.json
 
 echo "WAVE2 DONE $(date +%H:%M:%S)" >> "$LOG"
