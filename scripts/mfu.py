@@ -144,6 +144,16 @@ def main():
     results = {"config": vars(args), "device": kind,
                "peak_tflops": peak_flops / 1e12,
                "peak_gbps": peak_bw / 1e9, "stages": {}}
+    if args.out and os.path.exists(args.out):
+        # merge-in-place: a --stages subset re-measure (e.g. agg/train_step
+        # under a different remat policy — the only stages remat affects)
+        # must not drop the other stages' recorded rows
+        with open(args.out) as f:
+            prev = json.load(f)
+        results["stages"].update(prev.get("stages", {}))
+        for k, v in prev.items():
+            if k not in ("config", "stages") and k not in results:
+                results[k] = v
 
     def jit_img(i, x):
         return x * (1.0 + 1e-6 * i)

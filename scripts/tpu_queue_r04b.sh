@@ -16,6 +16,13 @@ run() {
   echo "--- exit=$? $(date +%H:%M:%S)" >> "$LOG"
 }
 
+# re-measure the remat-affected stages under the SHIPPED save_gathers
+# policy (confs/dtu.yaml changed after wave 1 launched); merges in place
+# into MFU_r04.json, leaving the remat-independent rows from the full-remat
+# pass untouched
+run 1800 python scripts/mfu.py --dims 256 --bf16 --agg-packed pallas \
+  --agg-remat save_gathers --stages agg,train_step --out MFU_r04.json
+
 # render plateau attempt (VERDICT item 5): throughput-optimal val chunk.
 # bench.py's 1024-ray chunks put only 131k rows through the render-core
 # gathers — GATHER_PROBE measured a 2-6x addressing ramp-up below ~256k
