@@ -236,13 +236,37 @@ class SyntheticDataset:
         self.n_pseudo_pts = n_pseudo_pts
         self.mode = mode
         self.rng = np.random.RandomState(seed)
+        self._seed = seed
+        self._cache = {}
 
     def __len__(self):
         return self.n_scenes
 
     def _scene(self, idx, n_rays):
-        return make_scene(n_views=self.n_views, hw=self.hw, n_rays=n_rays,
-                          seed=int(self.rng.randint(0, 1 << 30)) + idx)
+        """Per-index scene with the images/cameras raytraced ONCE and
+        cached (a real dataset's files-on-disk semantics); only the ray
+        batch is re-sampled per call. Re-raytracing every view per item —
+        the original behavior — is host-bound 133 s/step at the 5-view
+        480x640 reference scale against ~2 s of device work (r04
+        feasibility run), and hid behind the tiny default fixture sizes."""
+        if idx not in self._cache:
+            self._cache[idx] = make_scene(n_views=self.n_views, hw=self.hw,
+                                          n_rays=1,
+                                          seed=self._seed + 7919 * idx)
+        base = self._cache[idx]
+        out = dict(base)
+        H, W = self.hw
+        intr, c2w = base["intrs"][0], base["c2ws"][0]
+        px = self.rng.randint(0, W, size=n_rays).astype(np.float32)
+        py = self.rng.randint(0, H, size=n_rays).astype(np.float32)
+        pix = np.stack([px, py, np.ones_like(px)], axis=-1)
+        d = pix @ np.linalg.inv(intr).T
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        out["rays_d"] = (d @ c2w[:3, :3].T).astype(np.float32)
+        out["rays_o"] = np.broadcast_to(
+            c2w[:3, 3], out["rays_d"].shape).astype(np.float32).copy()
+        out["color"] = base["imgs"][0][py.astype(int), px.astype(int)]
+        return out
 
     def __getitem__(self, idx):
         if self.mode == "train":

@@ -37,6 +37,12 @@ def main(argv=None):
     initialize()
 
     cfg = load_config(args.conf, args.overrides)
+    if cfg.compilation_cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     cfg.mode = args.mode
     if args.mesh_resolution is not None:
         cfg.mesh_resolution = args.mesh_resolution

@@ -117,7 +117,7 @@ class GenSModel:
                 km, dummy_feats, jnp.eye(3)[None].repeat(2, 0),
                 jnp.eye(4)[None].repeat(2, 0),
                 tuple(4 for _ in range(n_scales)))
-            return {
+            out = {
                 "feature": feature_params,
                 "match_feature": jax.tree.map(jnp.copy, feature_params),
                 "agg": agg_params,
@@ -126,15 +126,23 @@ class GenSModel:
                 "blending": blending_params,
                 "variance": variance_params,
             }
-
-        return {
-            "feature": feature_params,
-            "match_feature": jax.tree.map(jnp.copy, feature_params),
-            "reg": reg_params,
-            "sdf": sdf_params,
-            "blending": blending_params,
-            "variance": variance_params,
-        }
+        else:
+            out = {
+                "feature": feature_params,
+                "match_feature": jax.tree.map(jnp.copy, feature_params),
+                "reg": reg_params,
+                "sdf": sdf_params,
+                "blending": blending_params,
+                "variance": variance_params,
+            }
+        # Normalize every leaf to a STRONG dtype. Initializers built from
+        # python scalars (e.g. the geometric init's jnp.full sphere bias)
+        # emit weak-typed f32 leaves; one optimizer step then returns
+        # strong-typed arrays, flipping the train-step's argument signature
+        # and RETRACING it — measured as 3 x ~125 s of recompiles in the
+        # first three Runner steps at the 256^3 reference scale (the weak
+        # param flips at step 1, Adam's mu/nu at step 2).
+        return jax.tree.map(lambda x: jnp.asarray(x, x.dtype), out)
 
     # -- scene construction (generalizable regime) -------------------------
 

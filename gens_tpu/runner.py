@@ -288,16 +288,32 @@ class Runner:
                 list(order))
             pending = []
             log_every = max(1, int(cfg.train.log_freq * steps_per_epoch))
-            for batch, inputs in enumerate(batches):
+            timing = os.environ.get("GENS_TPU_TIMING")
+            batches = iter(batches)
+            batch = 0
+            while True:
+                tf0 = time.time()
+                try:
+                    inputs = next(batches)
+                except StopIteration:
+                    break
+                tf1 = time.time()
                 frac = epoch + batch / steps_per_epoch
                 anneal = cos_anneal_ratio(frac, cfg.train.anneal_end)
                 state, metrics = step_fn(
                     state, inputs, self._next_key(), anneal,
                     use_match_features=frac >= 5)
+                td = time.time()
                 # keep metrics as device futures; sync only at log points
                 pending.append(metrics)
                 if batch % log_every == 0:
                     self._flush_metrics(pending, avg, state, epoch)
+                    if timing:
+                        ntrace = getattr(step_fn, "_cache_size", lambda: -1)()
+                        print(f"[timing] step {batch}: fetch {tf1-tf0:.2f}s "
+                              f"dispatch {td-tf1:.2f}s "
+                              f"flush {time.time()-td:.2f}s "
+                              f"traces {ntrace}", flush=True)
                     scalars = dict(avg.avg_data)
                     scalars["sec_per_step"] = (time.time() - t0) / (batch + 1)
                     self.logger.log("train", scalars,
@@ -305,6 +321,7 @@ class Runner:
                     if preempt.requested:
                         self._preempt_save(state, epoch)
                         return
+                batch += 1
             self._flush_metrics(pending, avg, state, epoch)
             self.logger.log("train_avg", avg.avg_data, epoch)
 
