@@ -29,7 +29,8 @@ def main():
 
     # persistent compilation cache: the render graph is large and the
     # tunneled remote compiler slow; repeated bench runs should hit cache
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
@@ -66,10 +67,15 @@ def main():
     # process, cached across runs) vs per-scene work (what validation
     # actually pays per scan — the r03 "89.8s" was dominated by a
     # compile-cache miss of the packed-table build graph, not per-scene
-    # execution; tunnel timing caveat: this forces a leaf readback)
+    # execution). Synchronisation: index ONE element on-device and pull
+    # that scalar — r04's `np.asarray(leaf)` here dragged the entire
+    # finest volume (256³×8ch f32 ≈ 0.5 GB) through the tunnel and
+    # recorded it as "warm 765.3s" build time (BENCH_r04.json); the warm
+    # build itself is seconds.
     t0 = time.time()
     scene = build(params, inputs)
-    float(np.asarray(jax.tree_util.tree_leaves(scene.volumes)[0]).ravel()[0])
+    leaf0 = jax.tree_util.tree_leaves(scene.volumes)[0]
+    float(jax.device_get(leaf0[(0,) * leaf0.ndim]))
     build_warm_time = time.time() - t0
 
     iters = 20

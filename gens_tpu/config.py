@@ -310,8 +310,10 @@ class Config:
     # The reference-scale train step compiles in ~2 min per program through
     # the tunneled remote compiler; without this every fresh Runner process
     # re-pays it (measured 3 distinct step-adjacent programs x ~125 s at the
-    # 256^3 feasibility config before steady-state 2.6 s/step).
-    compilation_cache_dir: str = "/tmp/gens_tpu_jax_cache"
+    # 256^3 feasibility config before steady-state 2.6 s/step). "auto"
+    # resolves to the per-user dir from utils/cache.py (the fixed /tmp path
+    # was poisonable on shared machines — ADVICE r04).
+    compilation_cache_dir: str = "auto"
 
 
 def apply_inference_fast_paths(cfg: "Config") -> "Config":

@@ -40,8 +40,11 @@ def main(argv=None):
     if cfg.compilation_cache_dir:
         import jax
 
+        from gens_tpu.utils.cache import compile_cache_dir
+
+        d = cfg.compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir",
-                          cfg.compilation_cache_dir)
+                          compile_cache_dir() if d == "auto" else d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     cfg.mode = args.mode
     if args.mesh_resolution is not None:

@@ -57,8 +57,8 @@ _LANE = 128  # lane alignment of dynamic-update offsets
 
 
 def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
-                  WBv: int, n_tiles: int, mm_dtype, xy_ref, ct_ref,
-                  out_ref):
+                  WBv: int, n_tiles: int, mm_dtype, layout: str, tpb: int,
+                  xy_ref, ct_ref, out_ref):
     t = pl.program_id(0)
 
     # out_ref's index map is constant, so the block stays VMEM-resident
@@ -69,72 +69,96 @@ def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    xy = xy_ref[0]  # (TILE, 2)
-    ct = ct_ref[0]  # (TILE, C)
-    u = xy[:, 0]
-    v = xy[:, 1]
-
-    # Window bases from the LIVE (nonzero-cotangent) positions only. A
-    # zero-cotangent query contributes nothing wherever it lands, so
-    # excluding it is exact — and necessary: out-of-frustum queries in a
-    # frustum-straddling tile project arbitrarily far from the tile's
-    # in-image cluster, and letting them pull the base would displace the
-    # window off the live queries (silently dropping their mass). The
-    # required_window bound covers live queries only (it is an in-frustum
-    # Jacobian bound). Bases clamp into [0, dim - WB] so the dynamic-slice
-    # update stays in range; an all-dead tile accumulates zeros wherever
-    # its (clamped) window lands.
-    live = jnp.max(jnp.abs(ct), axis=1) > 0.0
-    uc = jnp.where(live, jnp.clip(u, -1.0, float(W)), jnp.inf)
-    vc = jnp.where(live, jnp.clip(v, -1.0, float(H)), jnp.inf)
-    # Mosaic requires dynamic-update offsets aligned to the (8, 128)
-    # register tile, so the base aligns DOWN; WBu/WBv arrive pre-padded by
-    # _window_uv to absorb the displacement, and the clamp bound
-    # (Wp - WBu, with BOTH terms lane-multiples — Hp/_SUB likewise) is
-    # itself aligned, so the right-edge clamp never loses coverage.
-    bu = jnp.floor(jnp.clip(jnp.min(uc), 0.0, float(Wp - WBu))
-                   ).astype(jnp.int32)
-    bv = jnp.floor(jnp.clip(jnp.min(vc), 0.0, float(Hp - WBv))
-                   ).astype(jnp.int32)
-    bu = (bu // _LANE) * _LANE
-    bv = (bv // _SUB) * _SUB
-
-    # hat-weight matrices vs the window's absolute pixel columns/rows,
-    # masked to the image interior — exactly bilerp's per-corner
-    # (weight · in-image) products
-    ju = jax.lax.broadcasted_iota(jnp.int32, (TILE, WBu), 1) + bu
-    jv = jax.lax.broadcasted_iota(jnp.int32, (TILE, WBv), 1) + bv
-    du = u[:, None] - ju.astype(jnp.float32)
-    dv = v[:, None] - jv.astype(jnp.float32)
-    Ub = jnp.maximum(0.0, 1.0 - jnp.abs(du)) * (ju < W)
-    Vb = jnp.maximum(0.0, 1.0 - jnp.abs(dv)) * (jv < H)
-    # (ju >= 0 / jv >= 0 are implied by the base clamp at 0)
-
-    # One (TILE, WBv)ᵀ(TILE, WBu) matmul per channel, unrolled over the
-    # (small, static) C. NB a single fused matmul over a (TILE, C·WBv)
-    # operand would need a (TILE, C, WBv) -> (TILE, C·WBv) collapse of a
-    # non-lane-aligned minor pair, which Mosaic cannot shape-cast
-    # ("infer-vector-layout: unsupported shape cast" on v5e); per-channel
-    # matmuls move the same FLOPs through the MXU without any reshape.
-    # mm_dtype=bf16 operands: 4x the f32 MXU rate; accumulation stays f32
-    # (preferred_element_type). Hat weights/cotangents carry bf16 rounding
-    # (~2^-8 relative) — same order as the bf16 forward the "pallas" mode
-    # already runs. The masks/zero structure above are computed in f32, so
-    # exact zeros stay exact; mm_dtype=f32 gives the bit-exact adjoint.
-    # TPU MXU note: a "f32" dot at DEFAULT precision rounds operands to
-    # bf16 (one MXU pass); mm_dtype=f32 therefore requests HIGHEST
-    # (bf16x3 emulation, f32-accurate) to honor the exact-adjoint contract.
     prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    Ub_mm = Ub.astype(mm_dtype)
-    for k in range(C):
-        Ak = Vb * ct[:, k][:, None]  # (TILE, WBv)
-        win_k = jax.lax.dot_general(
-            Ak.astype(mm_dtype), Ub_mm,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32)  # (WBv, WBu)
-        out_ref[k, pl.ds(bv, WBv), pl.ds(bu, WBu)] += win_k
+
+    # ``tpb`` tiles per grid step (statically unrolled): fewer, larger grid
+    # steps amortize Mosaic's per-step cost (two small block DMAs + loop
+    # bookkeeping) across 4-8 tiles — the grid at 256³ is otherwise 65k
+    # steps per view of ~13 MFLOP each.
+    for ti in range(tpb):
+        xy = xy_ref[ti]  # (TILE, 2)
+        ct = ct_ref[ti]  # (TILE, C)
+        u = xy[:, 0]
+        v = xy[:, 1]
+
+        # Window bases from the LIVE (nonzero-cotangent) positions only. A
+        # zero-cotangent query contributes nothing wherever it lands, so
+        # excluding it is exact — and necessary: out-of-frustum queries in a
+        # frustum-straddling tile project arbitrarily far from the tile's
+        # in-image cluster, and letting them pull the base would displace the
+        # window off the live queries (silently dropping their mass). The
+        # required_window bound covers live queries only (it is an in-frustum
+        # Jacobian bound). Bases clamp into [0, dim - WB] so the
+        # dynamic-slice update stays in range; an all-dead tile accumulates
+        # zeros wherever its (clamped) window lands.
+        live = jnp.max(jnp.abs(ct), axis=1) > 0.0
+        uc = jnp.where(live, jnp.clip(u, -1.0, float(W)), jnp.inf)
+        vc = jnp.where(live, jnp.clip(v, -1.0, float(H)), jnp.inf)
+        # Mosaic requires dynamic-update offsets aligned to the (8, 128)
+        # register tile, so the base aligns DOWN; WBu/WBv arrive pre-padded
+        # by _window_uv to absorb the displacement, and the clamp bound
+        # (Wp - WBu, with BOTH terms lane-multiples — Hp/_SUB likewise) is
+        # itself aligned, so the right-edge clamp never loses coverage.
+        bu = jnp.floor(jnp.clip(jnp.min(uc), 0.0, float(Wp - WBu))
+                       ).astype(jnp.int32)
+        bv = jnp.floor(jnp.clip(jnp.min(vc), 0.0, float(Hp - WBv))
+                       ).astype(jnp.int32)
+        bu = (bu // _LANE) * _LANE
+        bv = (bv // _SUB) * _SUB
+
+        # hat-weight matrices vs the window's absolute pixel columns/rows,
+        # masked to the image interior — exactly bilerp's per-corner
+        # (weight · in-image) products
+        ju = jax.lax.broadcasted_iota(jnp.int32, (TILE, WBu), 1) + bu
+        jv = jax.lax.broadcasted_iota(jnp.int32, (TILE, WBv), 1) + bv
+        du = u[:, None] - ju.astype(jnp.float32)
+        dv = v[:, None] - jv.astype(jnp.float32)
+        Ub = jnp.maximum(0.0, 1.0 - jnp.abs(du)) * (ju < W)
+        Vb = jnp.maximum(0.0, 1.0 - jnp.abs(dv)) * (jv < H)
+        # (ju >= 0 / jv >= 0 are implied by the base clamp at 0)
+
+        # mm_dtype=bf16 operands: 4x the f32 MXU rate; accumulation stays
+        # f32 (preferred_element_type). Hat weights/cotangents carry bf16
+        # rounding (~2^-8 relative) — same order as the bf16 forward the
+        # "pallas" mode already runs. The masks/zero structure above are
+        # computed in f32, so exact zeros stay exact; mm_dtype=f32 gives
+        # the bit-exact adjoint.
+        # TPU MXU note: a "f32" dot at DEFAULT precision rounds operands to
+        # bf16 (one MXU pass); mm_dtype=f32 therefore requests HIGHEST
+        # (bf16x3 emulation, f32-accurate) to honor the exact-adjoint
+        # contract.
+        if layout == "fused_u":
+            # ONE (TILE, WBv)ᵀ(TILE, C·WBu) matmul per tile: the channel
+            # axis rides along the lane (u) dimension in C lane-aligned
+            # blocks — win_all[p, k·WBu + q] = Σ_n Vb[n,p]·Ub[n,q]·ct[n,k].
+            # Same FLOPs as the per-channel loop but C× fewer MXU issues
+            # (each per-channel matmul pays the systolic fill/drain for
+            # only a (WBv, WBu) result). A (TILE, C, WBv)→(TILE, C·WBv)
+            # shape-cast is NOT Mosaic-legal, but concatenating C
+            # lane-aligned (TILE, WBu) blocks is.
+            B_all = jnp.concatenate(
+                [Ub * ct[:, k][:, None] for k in range(C)], axis=1)
+            win_all = jax.lax.dot_general(
+                Vb.astype(mm_dtype), B_all.astype(mm_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32)  # (WBv, C·WBu)
+            for k in range(C):
+                out_ref[k, pl.ds(bv, WBv), pl.ds(bu, WBu)] += (
+                    win_all[:, k * WBu:(k + 1) * WBu])
+        else:
+            # One (TILE, WBv)ᵀ(TILE, WBu) matmul per channel, unrolled over
+            # the (small, static) C.
+            Ub_mm = Ub.astype(mm_dtype)
+            for k in range(C):
+                Ak = Vb * ct[:, k][:, None]  # (TILE, WBv)
+                win_k = jax.lax.dot_general(
+                    Ak.astype(mm_dtype), Ub_mm,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32)  # (WBv, WBu)
+                out_ref[k, pl.ds(bv, WBv), pl.ds(bu, WBu)] += win_k
 
 
 def _window_uv(window, hw: Tuple[int, int]) -> Tuple[int, int]:
@@ -155,7 +179,8 @@ def _window_uv(window, hw: Tuple[int, int]) -> Tuple[int, int]:
 
 def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
                    window=48, interpret: bool = False,
-                   mm_dtype=jnp.bfloat16) -> jnp.ndarray:
+                   mm_dtype=jnp.bfloat16, layout: str = "per_channel",
+                   tiles_per_step: int = 1) -> jnp.ndarray:
     """Dense-windowed bilinear splat: ``dimg[y, x, c] = Σ_n
     hat(v_n - y)·hat(u_n - x)·ct[n, c]`` with zeros-padding semantics.
 
@@ -163,11 +188,25 @@ def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
     < ``window - 2`` pixels in each image axis (see ``tile_grid_queries``);
     window: int or (window_u, window_v); ct: (n_tiles, TILE, C);
     mm_dtype: hat-matmul operand dtype (bf16 = 4x MXU rate, f32 = the
-    bit-exact adjoint). Returns (H, W, C) float32.
+    bit-exact adjoint); layout: "fused_u" (one matmul per tile, channels
+    along lanes — r05 default after the on-device probe) or "per_channel"
+    (the r03 kernel — C small matmuls); tiles_per_step: tiles processed
+    per grid step (amortizes per-step overhead; tile blocks are padded
+    with dead tiles to a multiple). Returns (H, W, C) float32.
     """
     n_tiles = xy.shape[0]
     H, W = hw
     C = ct.shape[-1]
+    tpb = max(1, int(tiles_per_step))
+    if n_tiles % tpb:
+        # pad with DEAD tiles (ct == 0): the live-query window logic makes
+        # them accumulate exact zeros wherever their clamped window lands
+        pad = tpb - n_tiles % tpb
+        xy = jnp.concatenate(
+            [xy, jnp.zeros((pad,) + xy.shape[1:], xy.dtype)], axis=0)
+        ct = jnp.concatenate(
+            [ct, jnp.zeros((pad,) + ct.shape[1:], ct.dtype)], axis=0)
+        n_tiles += pad
     # the accumulator is padded to the (8, 128) register tile so every
     # aligned window placement stays in range (and the image-edge clamp
     # bound Wp - WBu is itself aligned); the pad rows/cols only ever
@@ -180,14 +219,14 @@ def splat_bilinear(xy: jnp.ndarray, ct: jnp.ndarray, hw: Tuple[int, int],
     # the inputs vary over (the kernel is a per-shard pure map)
     vma = frozenset(jax.typeof(xy).vma) | frozenset(jax.typeof(ct).vma)
     kernel = functools.partial(_splat_kernel, W, H, Wp, Hp, C, WBu, WBv,
-                               n_tiles, mm_dtype)
+                               n_tiles, mm_dtype, layout, tpb)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles // tpb,),
         in_specs=[
-            pl.BlockSpec((1, TILE, 2), lambda t: (t, 0, 0),
+            pl.BlockSpec((tpb, TILE, 2), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, C), lambda t: (t, 0, 0),
+            pl.BlockSpec((tpb, TILE, C), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((C, Hp, Wp), lambda t: (0, 0, 0),
@@ -230,7 +269,7 @@ def resolve_splat_impl(impl: str, devices=None) -> str:
     ``jax.default_backend()`` alone picks "kernel" for a CPU mesh in a
     process that has the TPU plugin registered (VERDICT r03 weak #4)."""
     if impl != "auto":
-        assert impl in ("kernel", "adjoint"), impl
+        assert impl in ("kernel", "kernel2", "adjoint"), impl
         return impl
     if devices is not None:
         plats = {d.platform for d in np.asarray(devices).flat}
@@ -267,7 +306,7 @@ def _bas_fwd(dims, grid_shape, window, impl, mm_dtype, image, table_lo, xy):
 
 
 def _bas_bwd(dims, grid_shape, window, impl, mm_dtype, xy, ct):
-    if impl != "kernel":
+    if impl not in ("kernel", "kernel2"):
         # Non-TPU targets (e.g. the CPU test mesh): evaluate the kernel's
         # exact math as the bilerp adjoint instead of interpreting the
         # Mosaic kernel — interpreting it inside shard_map trips jax's vma
@@ -294,8 +333,15 @@ def _bas_bwd(dims, grid_shape, window, impl, mm_dtype, xy, ct):
         return dimg, None, None
     xy_t = tile_grid_queries(xy, grid_shape)
     ct_t = tile_grid_queries(ct, grid_shape)
+    # impl "kernel": the r03 per-channel/1-tile kernel (shipped);
+    # "kernel2": the r05 candidate (fused_u layout, 4 tiles/step) —
+    # promoted to the default only once scripts/agg_bwd_split.py's
+    # on-device probe proves Mosaic legality + a win (PERF.md)
+    layout, tpb = (("fused_u", 4) if impl == "kernel2"
+                   else ("per_channel", 1))
     dimg = splat_bilinear(xy_t, ct_t, dims, window=window,
-                          mm_dtype=mm_dtype)
+                          mm_dtype=mm_dtype, layout=layout,
+                          tiles_per_step=tpb)
     return dimg, None, None
 
 

@@ -153,7 +153,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
 
     results = {"config": vars(args)}
     for mode in args.modes.split(","):

@@ -98,7 +98,8 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     results = []

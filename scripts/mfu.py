@@ -99,7 +99,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
     import jax.numpy as jnp
 
     from gens_tpu.config import Config
@@ -204,6 +205,19 @@ def main():
             "slowdown_vs_sol": round(ms / (sol_s * 1e3), 1)
             if sol_s > 0 else None,
             "compile_s": round(compile_s, 1),
+            # per-row provenance: merge-in-place (--out onto an existing
+            # file) would otherwise leave rows measured under a DIFFERENT
+            # policy stamped with the latest run's top-level config
+            # (ADVICE r04: MFU_r04.json's full-remat rows became
+            # unreproducible after an agg,train_step re-measure)
+            "measured_at": {
+                "agg_packed": m.volume.packed_bilerp,
+                "agg_remat": m.volume.agg_remat,
+                "bf16": bool(args.bf16),
+                "dims": args.dims,
+                "views": args.views,
+                "rays": args.rays,
+            },
         }
         results["stages"][name] = row
         print(f"{name:22s} {ms:9.1f} ms  {row['gflops']:10.1f} GF "

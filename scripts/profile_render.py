@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+from gens_tpu.utils.cache import enable_compile_cache
+enable_compile_cache(jax)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from gens_tpu.config import Config

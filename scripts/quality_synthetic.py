@@ -266,7 +266,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
     import jax.numpy as jnp
 
     from gens_tpu.data.synthetic import make_scene
@@ -590,9 +591,13 @@ def main():
         results["gen_curve"] = curve
         results["gen_ms_per_step"] = msps
         results["gen_compile_s"] = tc
-        # checkpoint BEFORE the evals so an eval crash cannot lose the run
+        # checkpoint BEFORE the evals so an eval crash cannot lose the run.
+        # Record the ACTUAL trained step (state.step), not args.steps_b —
+        # the early-return resume path can hand back params trained past
+        # the target, and this payload is consumed cross-round as a warm
+        # start (ADVICE r04)
         save_checkpoint("runs/quality_gen.ckpt",
-                        {"epoch": 0, "step": args.steps_b,
+                        {"epoch": 0, "step": int(state.step),
                          "params": state.params})
         flush()
         if not args.skip_eval:

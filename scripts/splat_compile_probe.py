@@ -33,7 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache")
+    from gens_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(jax)
     from gens_tpu.ops.interp import bilerp
     from gens_tpu.ops.pallas_splat import TILE, splat_bilinear
 

@@ -21,8 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeated suite runs skip identical XLA compiles
-# (the renderer's first CPU jit takes minutes)
-jax.config.update("jax_compilation_cache_dir", "/tmp/gens_tpu_jax_cache_cpu")
+# (the renderer's first CPU jit takes minutes); per-uid dir (ADVICE r04)
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from gens_tpu.utils.cache import compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir("_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

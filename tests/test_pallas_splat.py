@@ -4,6 +4,8 @@ without a scatter) against jax.grad of the plain bilerp path.
 Runs the kernel in interpret mode on CPU; the same code path compiles on
 TPU (measured in TRAINBENCH_r03)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,61 @@ def test_splat_matches_bilerp_transpose():
     scale = np.abs(np.asarray(ref)).max()
     np.testing.assert_allclose(np.asarray(lo), np.asarray(ref),
                                atol=2e-2 * scale)
+
+
+@pytest.mark.parametrize("layout,tpb", [("fused_u", 1), ("fused_u", 4),
+                                        ("per_channel", 4)])
+def test_splat_v2_variants_match_adjoint(layout, tpb):
+    """The r05 kernel variants (fused single-matmul channel layout and/or
+    multiple tiles per grid step, incl. a tile count NOT dividing n_tiles —
+    the dead-tile padding path) are exact vs the bilerp transpose."""
+    rng = np.random.RandomState(4)
+    S, Y, Z = 3, 32, 16  # 3·2·1 = 6 tiles → 6 % 4 = 2 dead pad tiles
+    H, W, C = 40, 48, 4
+    xy = _tiled_positions(rng, S, Y, Z, (H, W))
+    ct = jnp.asarray(rng.randn(S * Y * Z, C).astype(np.float32))
+
+    img0 = jnp.zeros((H, W, C))
+    _, vjp = jax.vjp(lambda im: bilerp(im, xy), img0)
+    (ref,) = vjp(ct)
+
+    xy_t = tile_grid_queries(xy, (S, Y, Z))
+    ct_t = tile_grid_queries(ct, (S, Y, Z))
+    got = splat_bilinear(xy_t, ct_t, (H, W), window=32, interpret=True,
+                         mm_dtype=jnp.float32, layout=layout,
+                         tiles_per_step=tpb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_agg_pallas_kernel2_matches_adjoint_interpret():
+    """splat_impl="kernel2" (fused_u + 4 tiles/step) through the custom-vjp
+    wrapper: gradients equal the "adjoint" impl's (the mathematically
+    identical jnp path) in interpret mode."""
+    from gens_tpu.ops.pallas_splat import bilerp_agg_splat
+    from gens_tpu.ops.interp import pack_supercell2d
+    from unittest import mock
+    import gens_tpu.ops.pallas_splat as ps
+
+    rng = np.random.RandomState(9)
+    S, Y, Z = 2, 16, 16
+    H, W, C = 40, 48, 4
+    xy = _tiled_positions(rng, S, Y, Z, (H, W))
+    img = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+
+    def loss(impl, im):
+        p = pack_supercell2d(im[None])
+        vals = bilerp_agg_splat((H, W), (S, Y, Z), 48, impl, jnp.float32,
+                                im, p.table[0].astype(jnp.bfloat16), xy)
+        return jnp.sum(vals.astype(jnp.float32) ** 2)
+
+    g_adj = jax.grad(functools.partial(loss, "adjoint"))(img)
+    with mock.patch.object(ps, "splat_bilinear",
+                           functools.partial(ps.splat_bilinear,
+                                             interpret=True)):
+        g_k2 = jax.grad(functools.partial(loss, "kernel2"))(img)
+    np.testing.assert_allclose(np.asarray(g_k2), np.asarray(g_adj),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_splat_wide_image_window_exceeds_height():
