@@ -183,7 +183,7 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
 
                 vals = bilerp_agg_splat(packed.dims, (slab, dim, dim),
                                         splat_window, splat_impl, splat_mm,
-                                        feat_v, table_lo_v, xy)
+                                        feat_v, table_lo_v, xy, mask)
             else:
                 vals = bilerp_packed_diff(feat_v, table_v, packed.dims, xy)
             vals = _checkpoint_name(vals, "agg_vals")

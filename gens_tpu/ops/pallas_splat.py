@@ -161,6 +161,117 @@ def _splat_kernel(W: int, H: int, Wp: int, Hp: int, C: int, WBu: int,
                 out_ref[k, pl.ds(bv, WBv), pl.ds(bu, WBu)] += win_k
 
 
+def _gather_window_kernel(W: int, H: int, Wp: int, Hp: int, C: int,
+                          WBu: int, WBv: int, mm_dtype, tpb: int,
+                          xy_ref, live_ref, img_ref, out_ref):
+    """FORWARD twin of the splat kernel (the round-5 'projection-coherent
+    forward'): instead of one 36-wide random HBM gather row per query
+    (addressing-bound at the measured ~313 rows/µs — GATHER_PROBE), each
+    (16,16)-voxel tile reads its projected image window from the
+    VMEM-resident image and evaluates bilerp as the hat-matrix sandwich
+
+        vals[n, k] = Σ_p Σ_q hat(v_n - p) · hat(u_n - q) · img[k, p, q]
+
+    — the same windowed-matmul structure (and FLOPs) as the backward.
+    ``live`` masks which queries may steer the window base (the aggregate's
+    in-frustum mask: behind-camera strays can project INTO the image far
+    from the tile's live cluster and would displace the window); non-live
+    queries get whatever the hat weights produce there (usually zero) and
+    are masked by the caller, exactly as the gather path's values are.
+    """
+    for ti in range(tpb):
+        xy = xy_ref[ti]      # (TILE, 2)
+        u = xy[:, 0]
+        v = xy[:, 1]
+        live = live_ref[ti][:, 0] > 0.0
+
+        uc = jnp.where(live, jnp.clip(u, -1.0, float(W)), jnp.inf)
+        vc = jnp.where(live, jnp.clip(v, -1.0, float(H)), jnp.inf)
+        bu = jnp.floor(jnp.clip(jnp.min(uc), 0.0, float(Wp - WBu))
+                       ).astype(jnp.int32)
+        bv = jnp.floor(jnp.clip(jnp.min(vc), 0.0, float(Hp - WBv))
+                       ).astype(jnp.int32)
+        bu = (bu // _LANE) * _LANE
+        bv = (bv // _SUB) * _SUB
+
+        ju = jax.lax.broadcasted_iota(jnp.int32, (TILE, WBu), 1) + bu
+        jv = jax.lax.broadcasted_iota(jnp.int32, (TILE, WBv), 1) + bv
+        du = u[:, None] - ju.astype(jnp.float32)
+        dv = v[:, None] - jv.astype(jnp.float32)
+        Ub = jnp.maximum(0.0, 1.0 - jnp.abs(du)) * (ju < W)
+        Vb = jnp.maximum(0.0, 1.0 - jnp.abs(dv)) * (jv < H)
+
+        prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        # (TILE, WBv) @ (WBv, C·WBu): channels ride the lane axis in C
+        # lane-aligned blocks (the same layout trick as the fused_u splat)
+        win_all = jnp.concatenate(
+            [img_ref[k, pl.ds(bv, WBv), pl.ds(bu, WBu)] for k in range(C)],
+            axis=1)
+        M = jax.lax.dot_general(
+            Vb.astype(mm_dtype), win_all.astype(mm_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=prec,
+            preferred_element_type=jnp.float32)  # (TILE, C·WBu)
+        vals = jnp.concatenate(
+            [jnp.sum(M[:, k * WBu:(k + 1) * WBu] * Ub, axis=1)[:, None]
+             for k in range(C)], axis=1)  # (TILE, C)
+        out_ref[ti] = vals
+
+
+def bilerp_window_fwd(image: jnp.ndarray, xy: jnp.ndarray,
+                      live: jnp.ndarray, window=48,
+                      interpret: bool = False, mm_dtype=jnp.bfloat16,
+                      tiles_per_step: int = 4) -> jnp.ndarray:
+    """Windowed-matmul bilerp forward. image (H, W, C); xy (n_tiles, TILE,
+    2) pixel coords tiled as :func:`tile_grid_queries`; live (n_tiles,
+    TILE) 0/1 — the caller's in-frustum mask (window-base steering only).
+    Returns (n_tiles, TILE, C) float32, equal to ``bilerp(image, xy)`` for
+    every live query (within mm_dtype rounding)."""
+    H, W, C = image.shape
+    n_tiles = n_tiles_orig = xy.shape[0]
+    tpb = max(1, int(tiles_per_step))
+    if n_tiles % tpb:
+        pad = tpb - n_tiles % tpb
+        xy = jnp.concatenate(
+            [xy, jnp.zeros((pad,) + xy.shape[1:], xy.dtype)], axis=0)
+        live = jnp.concatenate(
+            [live, jnp.zeros((pad,) + live.shape[1:], live.dtype)], axis=0)
+        n_tiles += pad
+    Hp = -(-H // _SUB) * _SUB
+    Wp = -(-W // _LANE) * _LANE
+    WBu, WBv = _window_uv(window, (Hp, Wp))
+    img_chw = jnp.pad(jnp.transpose(image, (2, 0, 1)),
+                      ((0, 0), (0, Hp - H), (0, Wp - W)))
+
+    vma = (frozenset(jax.typeof(xy).vma)
+           | frozenset(jax.typeof(image).vma))
+    kernel = functools.partial(_gather_window_kernel, W, H, Wp, Hp, C,
+                               WBu, WBv, mm_dtype, tpb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // tpb,),
+        in_specs=[
+            pl.BlockSpec((tpb, TILE, 2), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tpb, TILE, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index map: the image stays VMEM-resident across the
+            # whole grid (bf16 at the finest scale: (4, 480, 640) = 2.5 MB)
+            pl.BlockSpec((C, Hp, Wp), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tpb, TILE, C), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE, C), jnp.float32,
+                                       vma=vma),
+        interpret=interpret,
+    )(xy.astype(jnp.float32),
+      live.astype(jnp.float32)[..., None],
+      img_chw.astype(mm_dtype))
+    return out[:n_tiles_orig]
+
+
 def _window_uv(window, hw: Tuple[int, int]) -> Tuple[int, int]:
     """Static per-axis window sizes: the caller's required span, padded for
     the (8, 128)-aligned dynamic update (the base aligns DOWN by up to
@@ -269,7 +380,7 @@ def resolve_splat_impl(impl: str, devices=None) -> str:
     ``jax.default_backend()`` alone picks "kernel" for a CPU mesh in a
     process that has the TPU plugin registered (VERDICT r03 weak #4)."""
     if impl != "auto":
-        assert impl in ("kernel", "kernel2", "adjoint"), impl
+        assert impl in ("kernel", "kernel2", "kernel2f", "adjoint"), impl
         return impl
     if devices is not None:
         plats = {d.platform for d in np.asarray(devices).flat}
@@ -277,36 +388,55 @@ def resolve_splat_impl(impl: str, devices=None) -> str:
     return "kernel" if jax.default_backend() == "tpu" else "adjoint"
 
 
+def _bas_primal(dims, grid_shape, window, impl, mm_dtype, image, table_lo,
+                xy, mask):
+    from gens_tpu.ops.interp import bilerp_supercell
+
+    if impl == "kernel2f":
+        # projection-coherent forward: windowed-matmul bilerp straight off
+        # the (bf16-cast) feature map — no per-query gather rows, no table
+        xy_t = tile_grid_queries(xy.astype(jnp.float32), grid_shape)
+        lv_t = tile_grid_queries(mask.astype(jnp.float32)[:, None],
+                                 grid_shape)[..., 0]
+        fwd_dt = jnp.float32 if mm_dtype == jnp.float32 else jnp.bfloat16
+        vals_t = bilerp_window_fwd(image, xy_t, lv_t, window=window,
+                                   mm_dtype=fwd_dt)
+        return untile_grid_queries(vals_t, grid_shape).astype(xy.dtype)
+    return bilerp_supercell(table_lo, dims, xy)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def bilerp_agg_splat(dims, grid_shape, window, impl, mm_dtype,
-                     image, table_lo, xy):
+                     image, table_lo, xy, mask):
     """Bilerp for the volume aggregation whose FORWARD gathers the packed
-    (typically bf16) supercell table and whose BACKWARD is the Pallas splat
-    kernel producing dL/d``image`` directly — no scatter, no pack-conv
-    transpose in any backward.
+    (typically bf16) supercell table (or, impl="kernel2f", evaluates the
+    windowed-matmul forward kernel off ``image`` directly) and whose
+    BACKWARD is the Pallas splat kernel producing dL/d``image`` directly —
+    no scatter, no pack-conv transpose in any backward.
 
     dims: (H, W) of ``image``; grid_shape: the (S, Y, Z) voxel-grid layout
     of the flattened queries ``xy``; window: static pixel window (must
     cover :func:`required_window` for the camera set); impl: a CONCRETE
-    backward choice ("kernel" | "adjoint") — callers resolve "auto" via
-    :func:`resolve_splat_impl` against the devices the computation targets;
-    mm_dtype: the kernel's hat-matmul operand dtype (jnp.bfloat16 = 4x MXU
-    rate with ~2^-8 relative gradient rounding; jnp.float32 = the bit-exact
-    adjoint via Precision.HIGHEST).
+    choice ("kernel" | "kernel2" | "kernel2f" | "adjoint") — callers
+    resolve "auto" via :func:`resolve_splat_impl` against the devices the
+    computation targets; mm_dtype: the kernels' matmul operand dtype
+    (jnp.bfloat16 = 4x MXU rate with ~2^-8 relative rounding; jnp.float32
+    = the bit-exact adjoint via Precision.HIGHEST); mask: (N,) 0/1
+    in-frustum mask — steers the forward kernel's window bases (the caller
+    multiplies values by it anyway; gather impls ignore it).
     """
-    from gens_tpu.ops.interp import bilerp_supercell
+    return _bas_primal(dims, grid_shape, window, impl, mm_dtype, image,
+                       table_lo, xy, mask)
 
-    return bilerp_supercell(table_lo, dims, xy)
 
-
-def _bas_fwd(dims, grid_shape, window, impl, mm_dtype, image, table_lo, xy):
-    from gens_tpu.ops.interp import bilerp_supercell
-
-    return bilerp_supercell(table_lo, dims, xy), xy
+def _bas_fwd(dims, grid_shape, window, impl, mm_dtype, image, table_lo, xy,
+             mask):
+    return _bas_primal(dims, grid_shape, window, impl, mm_dtype, image,
+                       table_lo, xy, mask), xy
 
 
 def _bas_bwd(dims, grid_shape, window, impl, mm_dtype, xy, ct):
-    if impl not in ("kernel", "kernel2"):
+    if impl not in ("kernel", "kernel2", "kernel2f"):
         # Non-TPU targets (e.g. the CPU test mesh): evaluate the kernel's
         # exact math as the bilerp adjoint instead of interpreting the
         # Mosaic kernel — interpreting it inside shard_map trips jax's vma
@@ -330,19 +460,19 @@ def _bas_bwd(dims, grid_shape, window, impl, mm_dtype, xy, ct):
         missing = tuple(sorted(want - frozenset(jax.typeof(dimg).vma)))
         if missing:
             dimg = jax.lax.pcast(dimg, missing, to="varying")
-        return dimg, None, None
+        return dimg, None, None, None
     xy_t = tile_grid_queries(xy, grid_shape)
     ct_t = tile_grid_queries(ct, grid_shape)
     # impl "kernel": the r03 per-channel/1-tile kernel (shipped);
     # "kernel2": the r05 candidate (fused_u layout, 4 tiles/step) —
     # promoted to the default only once scripts/agg_bwd_split.py's
     # on-device probe proves Mosaic legality + a win (PERF.md)
-    layout, tpb = (("fused_u", 4) if impl == "kernel2"
+    layout, tpb = (("fused_u", 4) if impl in ("kernel2", "kernel2f")
                    else ("per_channel", 1))
     dimg = splat_bilinear(xy_t, ct_t, dims, window=window,
                           mm_dtype=mm_dtype, layout=layout,
                           tiles_per_step=tpb)
-    return dimg, None, None
+    return dimg, None, None, None
 
 
 bilerp_agg_splat.defvjp(_bas_fwd, _bas_bwd)

@@ -239,8 +239,38 @@ def main():
                 results["stages"][name] = {"error": str(e)[:400]}
                 print(f"{name}: FAILED {str(e)[:200]}", flush=True)
 
+        # the projection-coherent FORWARD kernel vs the bf16 gather forward
+        from gens_tpu.ops.pallas_splat import bilerp_window_fwd
+
+        lv_t = jnp.stack([
+            tile_grid_queries(
+                jnp.asarray(live_np[j].astype(np.float32))[:, None],
+                (slab, dim, dim))[..., 0]
+            for j in range(n_inst)])
+
+        def mk_fwd(tpb):
+            def run_fwd(i, xt, lvt, img):
+                acc = jnp.float32(0)
+                for j in range(n_inst):
+                    vals = bilerp_window_fwd(img * (1 + 1e-6 * i), xt[j],
+                                             lvt[j], window=tuple(win),
+                                             tiles_per_step=tpb)
+                    acc += jnp.sum(vals)
+                return acc
+            return run_fwd
+
+        for tpb in (4, 8):
+            try:
+                measure(f"window_fwd_tpb{tpb}_1view", mk_fwd(tpb),
+                        (xy_t, lv_t, feat[0]))
+            except Exception as e:
+                results["stages"][f"window_fwd_tpb{tpb}_1view"] = {
+                    "error": str(e)[:400]}
+                print(f"window_fwd_tpb{tpb}: FAILED {str(e)[:200]}",
+                      flush=True)
+
     if "agg" in stages:
-        for impl in ("kernel", "kernel2"):
+        for impl in ("kernel", "kernel2", "kernel2f"):
             def agg_bwd(i, f, impl=impl):
                 def loss(ff):
                     vol, _ = aggregate_scale(

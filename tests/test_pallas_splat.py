@@ -99,10 +99,16 @@ def test_agg_pallas_kernel2_matches_adjoint_interpret():
     xy = _tiled_positions(rng, S, Y, Z, (H, W))
     img = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
 
+    live = jnp.asarray(
+        ((np.asarray(xy)[:, 0] >= 0) & (np.asarray(xy)[:, 0] <= W - 1)
+         & (np.asarray(xy)[:, 1] >= 0) & (np.asarray(xy)[:, 1] <= H - 1))
+        .astype(np.float32))
+
     def loss(impl, im):
         p = pack_supercell2d(im[None])
         vals = bilerp_agg_splat((H, W), (S, Y, Z), 48, impl, jnp.float32,
-                                im, p.table[0].astype(jnp.bfloat16), xy)
+                                im, p.table[0].astype(jnp.bfloat16), xy,
+                                live)
         return jnp.sum(vals.astype(jnp.float32) ** 2)
 
     g_adj = jax.grad(functools.partial(loss, "adjoint"))(img)
@@ -112,6 +118,90 @@ def test_agg_pallas_kernel2_matches_adjoint_interpret():
         g_k2 = jax.grad(functools.partial(loss, "kernel2"))(img)
     np.testing.assert_allclose(np.asarray(g_k2), np.asarray(g_adj),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("tpb", [1, 4])
+def test_window_fwd_matches_bilerp(tpb):
+    """The projection-coherent FORWARD kernel (bilerp as a windowed
+    hat-matrix sandwich off the VMEM-resident image) equals bilerp() on
+    every live query, including tiles with dead strays that must not
+    displace the window base, and a non-dividing tile count (padding)."""
+    from gens_tpu.ops.pallas_splat import bilerp_window_fwd
+
+    rng = np.random.RandomState(6)
+    S, Y, Z = 3, 32, 16  # 6 tiles → exercises tpb=4 padding
+    H, W, C = 40, 48, 4
+    xy = np.array(_tiled_positions(rng, S, Y, Z, (H, W)))
+    live = ((xy[:, 0] >= 0) & (xy[:, 0] <= W - 1)
+            & (xy[:, 1] >= 0) & (xy[:, 1] <= H - 1)).astype(np.float32)
+    # dead strays far from each tile's live cluster (behind-camera points
+    # can project in-image far away; live=0 keeps them off the base)
+    dead = np.where(live == 0)[0]
+    xy[dead[: len(dead) // 2]] += 300.0
+    img = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    xy_j = jnp.asarray(xy.astype(np.float32))
+
+    ref = np.asarray(bilerp(img, xy_j))
+    xy_t = tile_grid_queries(xy_j, (S, Y, Z))
+    lv_t = tile_grid_queries(jnp.asarray(live)[:, None], (S, Y, Z))[..., 0]
+    got_t = bilerp_window_fwd(img, xy_t, lv_t, window=40, interpret=True,
+                              mm_dtype=jnp.float32, tiles_per_step=tpb)
+    got = np.asarray(untile_grid_queries(got_t, (S, Y, Z)))
+    np.testing.assert_allclose(got[live > 0], ref[live > 0],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_agg_pallas_kernel2f_matches_table_interpret():
+    """packed_bilerp="pallas" with splat_impl="kernel2f" (forward AND
+    backward as windowed-matmul kernels) through aggregate_scale: volume
+    and gradients match the "table" path (f32 kernels → tight tolerance;
+    the end-to-end contract of the r05 forward kernel)."""
+    import functools as ft
+    from unittest import mock
+
+    import gens_tpu.ops.pallas_splat as ps
+    from gens_tpu.models.volume import aggregate_scale
+    from tests.test_volume import look_at
+
+    rng = np.random.RandomState(12)
+    V, H, W, C = 3, 48, 48, 4
+    dim = 32
+    f = 40.0
+    intr = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    c2ws = []
+    for i in range(V):
+        ang = 2 * np.pi * i / V
+        eye = 3.1 * np.array([np.cos(ang), np.sin(ang), 0.3], np.float32)
+        c2ws.append(look_at(eye, np.zeros(3, np.float32)))
+    intrs = jnp.asarray(np.repeat(intr[None], V, 0))
+    c2ws = jnp.asarray(np.stack(c2ws))
+    feat = jnp.asarray(rng.randn(V, H, W, C).astype(np.float32))
+
+    win = required_window(np.asarray(intrs), np.asarray(c2ws), dim, (H, W))
+    win = tuple(max(w, 16) for w in win)
+
+    def run(packed, impl=None):
+        def loss(f_):
+            vol, _ = aggregate_scale(
+                f_, intrs, c2ws, dim, 0, packed_bilerp=packed,
+                splat_window=win,
+                **({"splat_impl": impl, "splat_mm_dtype": "float32"}
+                   if impl else {}))
+            return (jnp.sum(vol.astype(jnp.float32)
+                            * jnp.cos(jnp.arange(vol.size, dtype=jnp.float32)
+                                      .reshape(vol.shape))), vol)
+        (l, vol), g = jax.value_and_grad(loss, has_aux=True)(feat)
+        return np.asarray(vol), np.asarray(g)
+
+    vol_ref, g_ref = run("table")
+    with mock.patch.object(ps, "splat_bilinear",
+                           ft.partial(ps.splat_bilinear, interpret=True)), \
+         mock.patch.object(ps, "bilerp_window_fwd",
+                           ft.partial(ps.bilerp_window_fwd,
+                                      interpret=True)):
+        vol_k, g_k = run("pallas", impl="kernel2f")
+    np.testing.assert_allclose(vol_k, vol_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-4)
 
 
 def test_splat_wide_image_window_exceeds_height():
