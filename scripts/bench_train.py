@@ -42,6 +42,7 @@ def measure(packed: bool, args):
     m.color_network.packed_bilerp = packed
     m.volume.packed_bilerp = args.agg_packed
     m.volume.agg_remat = args.agg_remat
+    m.volume.splat_impl = args.splat_impl
     if args.bf16:
         m.sdf_network.volume_dtype = "bfloat16"
         m.color_network.packed_dtype = "bfloat16"
@@ -139,6 +140,9 @@ def main():
                    help="aggregation remat policy (volume.agg_remat): "
                         "save_gathers keeps gathered values as residuals "
                         "so the backward skips the supercell re-gather")
+    p.add_argument("--splat-impl", default="auto",
+                   choices=["auto", "kernel", "kernel2", "kernel2f",
+                            "adjoint"])
     p.add_argument("--splat-window", default="auto",
                    help="'auto' = per-scale required_windows_cascade of the "
                         "bench rig; or a fixed int for all scales")

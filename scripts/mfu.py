@@ -86,6 +86,12 @@ def main():
                    help="aggregation remat policy (volume.agg_remat): "
                         "save_gathers keeps gathered values as residuals "
                         "so the backward skips the supercell re-gather")
+    p.add_argument("--splat-impl", default="auto",
+                   choices=["auto", "kernel", "kernel2", "kernel2f",
+                            "adjoint"],
+                   help="splat backward/forward implementation for "
+                        "--agg-packed pallas (kernel2/kernel2f = the r05 "
+                        "tuned variants, scripts/agg_bwd_split.py)")
     p.add_argument("--splat-window", default="auto",
                    help="'auto' = per-scale required_windows_cascade of the "
                         "bench rig; or a fixed int for all scales")
@@ -118,6 +124,7 @@ def main():
     m.volume.volume_dims = tuple(max(args.dims >> i, 2) for i in range(5))
     m.volume.packed_bilerp = args.agg_packed
     m.volume.agg_remat = args.agg_remat
+    m.volume.splat_impl = args.splat_impl
     if args.bf16:
         m.volume.dtype = "bfloat16"
         m.reg_network.dtype = "bfloat16"
@@ -213,6 +220,7 @@ def main():
             "measured_at": {
                 "agg_packed": m.volume.packed_bilerp,
                 "agg_remat": m.volume.agg_remat,
+                "splat_impl": m.volume.splat_impl,
                 "bf16": bool(args.bf16),
                 "dims": args.dims,
                 "views": args.views,
