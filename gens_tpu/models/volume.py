@@ -149,12 +149,22 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
         # GATHERS, the addressing-bound op this whole module optimizes);
         # "save_gathers" keeps the gathered values as residuals
         # (checkpoint_name tag) so the backward recomputes only projection
-        # math + elementwise
+        # math + elementwise; "save_gathers_proj" additionally saves the
+        # projected pixel coords + in-frustum mask (xy f32 + mask: ~1 GB
+        # extra residency at 256³x5 views) so the backward's projection
+        # subgraph (per-voxel w2c/intrinsics matmuls + divides) DCEs away
+        # entirely — the backward is then the splat kernel + elementwise
+        # cotangent prep only
         if agg_remat == "save_gathers":
             remat = functools.partial(
                 jax.checkpoint,
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "agg_vals"))
+        elif agg_remat == "save_gathers_proj":
+            remat = functools.partial(
+                jax.checkpoint,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "agg_vals", "agg_xy", "agg_mask"))
         else:
             remat = jax.checkpoint
 
@@ -165,12 +175,14 @@ def aggregate_scale(feat: jnp.ndarray, intrs: jnp.ndarray, c2ws: jnp.ndarray,
                 cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
                 uvw = cam @ intr_v.T
             xy = uvw[:, :2] / (uvw[:, 2:] + 1e-8)
+            xy = _checkpoint_name(xy, "agg_xy")
             # in-image test in normalized coords (volume.py:43): |norm| <= 1
             # and depth > 0 (slightly wider than a strict pixel-box test)
             nx = xy[:, 0] / ((W - 1) / 2.0) - 1.0
             ny = xy[:, 1] / ((H - 1) / 2.0) - 1.0
             mask = (jnp.abs(nx) <= 1) & (jnp.abs(ny) <= 1) & (cam[:, 2] > 0)
-            mask = mask.astype(feat.dtype) * valid_v
+            mask = _checkpoint_name(mask.astype(feat.dtype) * valid_v,
+                                    "agg_mask")
             if table_v is None:
                 vals = bilerp(feat_v, xy)  # (Ns, C), zero outside
             elif mode == "table":

@@ -270,24 +270,28 @@ def main():
                       flush=True)
 
     if "agg" in stages:
-        for impl in ("kernel", "kernel2", "kernel2f"):
-            def agg_bwd(i, f, impl=impl):
+        combos = [(impl, "save_gathers")
+                  for impl in ("kernel", "kernel2", "kernel2f")]
+        combos += [("kernel2", "save_gathers_proj"),
+                   ("kernel2f", "save_gathers_proj")]
+        for impl, remat in combos:
+            def agg_bwd(i, f, impl=impl, remat=remat):
                 def loss(ff):
                     vol, _ = aggregate_scale(
                         ff * (1 + 1e-6 * i), intrs, c2ws, dim, args.scale,
                         packed_bilerp="pallas", splat_window=tuple(win),
-                        splat_impl=impl, agg_remat="save_gathers")
+                        splat_impl=impl, agg_remat=remat)
                     return jnp.sum(vol.astype(jnp.float32) ** 2)
                 g = jax.grad(loss)(f)
                 return jnp.sum(g).astype(jnp.float32)
 
+            name = (f"agg_fwdbwd_{impl}" if remat == "save_gathers"
+                    else f"agg_fwdbwd_{impl}@{remat}")
             try:
-                measure(f"agg_fwdbwd_{impl}", agg_bwd, (feat,))
+                measure(name, agg_bwd, (feat,))
             except Exception as e:
-                results["stages"][f"agg_fwdbwd_{impl}"] = {
-                    "error": str(e)[:400]}
-                print(f"agg_fwdbwd_{impl}: FAILED {str(e)[:200]}",
-                      flush=True)
+                results["stages"][name] = {"error": str(e)[:400]}
+                print(f"{name}: FAILED {str(e)[:200]}", flush=True)
 
     print(json.dumps(results["stages"], indent=1))
     if args.out:

@@ -136,7 +136,7 @@ def main():
                         "'diff' (raw-map scatter), 'table' = scatter into "
                         "supercell rows + pack-conv transpose")
     p.add_argument("--agg-remat", default="full",
-                   choices=["full", "save_gathers"],
+                   choices=["full", "save_gathers", "save_gathers_proj"],
                    help="aggregation remat policy (volume.agg_remat): "
                         "save_gathers keeps gathered values as residuals "
                         "so the backward skips the supercell re-gather")

@@ -82,7 +82,7 @@ def main():
                    default="table",
                    choices=[False, "diff", "table", "table_bf16", "pallas"])
     p.add_argument("--agg-remat", default="full",
-                   choices=["full", "save_gathers"],
+                   choices=["full", "save_gathers", "save_gathers_proj"],
                    help="aggregation remat policy (volume.agg_remat): "
                         "save_gathers keeps gathered values as residuals "
                         "so the backward skips the supercell re-gather")

@@ -250,7 +250,7 @@ def main():
                         "networks are resolution-independent)")
     p.add_argument("--mesh-res", type=int, default=192)
     p.add_argument("--agg-remat", default="full",
-                   choices=["full", "save_gathers"],
+                   choices=["full", "save_gathers", "save_gathers_proj"],
                    help="volume.agg_remat policy for the train step")
     p.add_argument("--inflight-every", type=int, default=1000,
                    help="phase b: in-flight checkpoint cadence (steps)")

@@ -281,3 +281,11 @@ def test_agg_remat_save_gathers_identical_gradients(rng):
         g_save = jax.jit(jax.grad(lambda f: loss(f, "save_gathers")))(feat)
         np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_save),
                                    rtol=2e-3, atol=1e-4)
+        # "save_gathers_proj" (xy + mask residuals too: the backward's
+        # projection subgraph DCEs away) — still a pure scheduling change
+        v_proj = jax.jit(lambda f: loss(f, "save_gathers_proj"))(feat)
+        np.testing.assert_array_equal(np.asarray(v_full), np.asarray(v_proj))
+        g_proj = jax.jit(
+            jax.grad(lambda f: loss(f, "save_gathers_proj")))(feat)
+        np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_proj),
+                                   rtol=2e-3, atol=1e-4)
