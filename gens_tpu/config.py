@@ -267,6 +267,10 @@ class DatasetConfig:
 class TrainConfig:
     lr_feat: float = 1e-3
     lr_mlp: float = 5e-4
+    # NeuS variance (inv_s) scalar LR = lr_mlp * this. 1.0 = reference
+    # parity; >1 accelerates surface sharpening on short (chip-budget)
+    # schedules — the held-out accuracy floor tracks ~1/inv_s (QUALITY.md)
+    lr_variance_mult: float = 1.0
     # per-scale volume LRs for finetune mode (reference confs/gens_finetune.conf:22)
     lr_vol: Tuple[float, ...] = (1e-4, 1e-3, 1e-3, 1e-2, 1e-2)
     epochs: int = 50

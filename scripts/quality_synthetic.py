@@ -252,6 +252,10 @@ def main():
     p.add_argument("--agg-remat", default="full",
                    choices=["full", "save_gathers", "save_gathers_proj"],
                    help="volume.agg_remat policy for the train step")
+    p.add_argument("--var-lr-mult", type=float, default=1.0,
+                   help="NeuS variance-scalar LR multiplier (surface "
+                        "sharpening accelerator for short schedules; the "
+                        "held-out acc floor tracks ~1/inv_s)")
     p.add_argument("--inflight-every", type=int, default=1000,
                    help="phase b: in-flight checkpoint cadence (steps)")
     p.add_argument("--skip-eval", action="store_true",
@@ -498,6 +502,7 @@ def main():
         cfg = build_config(n_steps, dims=args.dims, samples=args.samples,
                            bf16=args.bf16, agg=args.agg_packed)
         cfg.model.volume.agg_remat = args.agg_remat
+        cfg.train.lr_variance_mult = args.var_lr_mult
         if args.agg_packed == "pallas":
             from gens_tpu.ops.pallas_splat import required_windows_cascade
             wins = None
