@@ -382,10 +382,17 @@ def resolve_splat_impl(impl: str, devices=None) -> str:
     if impl != "auto":
         assert impl in ("kernel", "kernel2", "kernel2f", "adjoint"), impl
         return impl
+    # "auto" on TPU resolves to kernel2 — the r05 winner (fused single
+    # matmul per tile + 4 tiles per grid step): scale-0 agg fwd+bwd
+    # 1158 -> 1001 ms over the r03 per-channel kernel at the bench rig
+    # (runs/AGG_SPLIT_r05.json); parity pinned in tests/test_pallas_splat
+    # and device-proven by the same probe. "kernel" (r03) and "kernel2f"
+    # (windowed-matmul forward, an honest negative at the bench rig's
+    # (166,179) windows — 1631 ms) remain selectable.
     if devices is not None:
         plats = {d.platform for d in np.asarray(devices).flat}
-        return "kernel" if plats == {"tpu"} else "adjoint"
-    return "kernel" if jax.default_backend() == "tpu" else "adjoint"
+        return "kernel2" if plats == {"tpu"} else "adjoint"
+    return "kernel2" if jax.default_backend() == "tpu" else "adjoint"
 
 
 def _bas_primal(dims, grid_shape, window, impl, mm_dtype, image, table_lo,

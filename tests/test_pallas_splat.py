@@ -427,7 +427,7 @@ def test_resolve_splat_impl():
     assert resolve_splat_impl("adjoint") == "adjoint"
     cpus = np.array(jax.devices("cpu")[:4]).reshape(2, 2)
     assert resolve_splat_impl("auto", devices=cpus) == "adjoint"
-    expect = "kernel" if jax.default_backend() == "tpu" else "adjoint"
+    expect = "kernel2" if jax.default_backend() == "tpu" else "adjoint"
     assert resolve_splat_impl("auto") == expect
     with pytest.raises(AssertionError):
         resolve_splat_impl("bogus")
