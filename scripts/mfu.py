@@ -168,7 +168,30 @@ def main():
 
     def measure(name, fn, init):
         """fn(i, *init) -> f32 scalar. Times K scanned iterations AND cost-
-        analyzes the compiled single-call executable."""
+        analyzes the compiled single-call executable. One retry per stage on
+        transient tunnel/remote-compile failures, then an error row — a
+        flake must not lose the whole artifact (r05: a mid-run 'response
+        body closed' killed MFU before its single end-of-run write; rows
+        are now also flushed to --out after every stage)."""
+        try:
+            return _measure(name, fn, init)
+        except jax.errors.JaxRuntimeError as e:
+            print(f"  {name}: transient backend error, retrying once: "
+                  f"{str(e)[:200]}", flush=True)
+            time.sleep(10.0)
+            try:
+                return _measure(name, fn, init)
+            except jax.errors.JaxRuntimeError as e2:
+                results["stages"][name] = {"error": str(e2)[:400]}
+                _flush()
+                return None
+
+    def _flush():
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+
+    def _measure(name, fn, init):
         single = jax.jit(fn).lower(jnp.int32(0), *init).compile()
         try:
             ca = single.cost_analysis()
@@ -228,6 +251,7 @@ def main():
             },
         }
         results["stages"][name] = row
+        _flush()
         print(f"{name:22s} {ms:9.1f} ms  {row['gflops']:10.1f} GF "
               f"{row['gbytes']:8.2f} GB  mfu {row['mfu_pct']:5.2f}%  "
               f"hbm {row['hbm_pct']:5.1f}%  sol {row['sol_ms']:8.2f} ms "
@@ -376,9 +400,10 @@ def main():
             return jnp.sum(out["color_fine"]).astype(jnp.float32)
 
         row = measure("render_infer_fwd", render_fwd, (iparams, iscene))
-        results["render_infer_rays_s"] = round(R / (row["ms"] / 1e3), 0)
-        results["render_infer_sol_rays_s"] = round(
-            R / (row["sol_ms"] / 1e3), 0)
+        if row:
+            results["render_infer_rays_s"] = round(R / (row["ms"] / 1e3), 0)
+            results["render_infer_sol_rays_s"] = round(
+                R / (row["sol_ms"] / 1e3), 0)
 
     if "train_step" in stages:
         from gens_tpu.train.step import make_optimizer
@@ -404,7 +429,8 @@ def main():
                 jnp.sum(x) for x in jax.tree_util.tree_leaves(newp))
 
         row = measure("train_step", step_fn, (params, opt_state))
-        results["train_sol_steps_s"] = round(1e3 / row["sol_ms"], 2)
+        if row:
+            results["train_sol_steps_s"] = round(1e3 / row["sol_ms"], 2)
 
     print(json.dumps({k: v for k, v in results.items() if k != "config"},
                      indent=1))
