@@ -59,23 +59,28 @@ def main():
     # as validation does per scene.
     build = jax.jit(lambda p, i: model.build_scene(p, i["imgs"], i["intrs"],
                                                    i["c2ws"]))
+    # Synchronisation on this tunnel: ``block_until_ready`` returns EARLY
+    # (verified r05 — the axon plugin acks before execution drains), so a
+    # timing fence must data-depend on the result: index ONE element
+    # on-device and pull that scalar. Two historical artifacts of wrong
+    # fences here: r04's `np.asarray(leaf)` dragged the entire finest
+    # volume (0.5 GB ≈ 700 s through the tunnel) into the warm number,
+    # and r05's first fix left the COLD build fenced by block_until_ready
+    # only — its real work then drained inside the warm timer ("cold
+    # 40.1 s / warm 461.3 s", BENCH log). Both timers now use the scalar
+    # fence.
+    def sync(scene):
+        leaf0 = jax.tree_util.tree_leaves(scene.volumes)[0]
+        float(jax.device_get(leaf0[(0,) * leaf0.ndim]))
+
     t0 = time.time()
     scene = build(params, inputs)
-    jax.block_until_ready(jax.tree_util.tree_leaves(scene.volumes))
-    build_time = time.time() - t0
-    # second build attributes the first's cost: compile (one-time per
-    # process, cached across runs) vs per-scene work (what validation
-    # actually pays per scan — the r03 "89.8s" was dominated by a
-    # compile-cache miss of the packed-table build graph, not per-scene
-    # execution). Synchronisation: index ONE element on-device and pull
-    # that scalar — r04's `np.asarray(leaf)` here dragged the entire
-    # finest volume (256³×8ch f32 ≈ 0.5 GB) through the tunnel and
-    # recorded it as "warm 765.3s" build time (BENCH_r04.json); the warm
-    # build itself is seconds.
+    sync(scene)
+    build_time = time.time() - t0  # compile (cached across runs) + build
+    # second build = the per-scene work validation actually pays per scan
     t0 = time.time()
     scene = build(params, inputs)
-    leaf0 = jax.tree_util.tree_leaves(scene.volumes)[0]
-    float(jax.device_get(leaf0[(0,) * leaf0.ndim]))
+    sync(scene)
     build_warm_time = time.time() - t0
 
     iters = 20
