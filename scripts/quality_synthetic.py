@@ -252,6 +252,10 @@ def main():
     p.add_argument("--agg-remat", default="full",
                    choices=["full", "save_gathers", "save_gathers_proj"],
                    help="volume.agg_remat policy for the train step")
+    p.add_argument("--inv-s-ramp", default=None,
+                   help="phase b: FORCED NeuS inv_s schedule 's0:s1' — "
+                        "projects the variance param up to a log-linear "
+                        "ramp each step (see run_training.var_ramp)")
     p.add_argument("--var-lr-mult", type=float, default=1.0,
                    help="NeuS variance-scalar LR multiplier (surface "
                         "sharpening accelerator for short schedules; the "
@@ -348,7 +352,7 @@ def main():
         return batches, radius
 
     def run_training(model, cfg, batches, n_steps, tag, init_params=None,
-                     inflight_path=None, save_every=1000):
+                     inflight_path=None, save_every=1000, var_ramp=None):
         """``init_params``: warm-start params (all networks are
         resolution-independent, so a 64³-trained checkpoint legitimately
         initializes a 128³/256³ run — curriculum, not test leakage: the
@@ -356,7 +360,13 @@ def main():
         ``inflight_path``: periodic full-state checkpoint; an existing one
         resumes the run at its recorded step (the tunneled chip flakes on
         multi-hour runs; batches are pre-generated so the data stream is
-        deterministic in step)."""
+        deterministic in step).
+        ``var_ramp``: optional (inv_s0, inv_s1) FORCED NeuS-variance
+        schedule — after each step the variance param is projected up to a
+        log-linear ramp (several NeuS descendants schedule sharpness
+        instead of learning it; at short step counts the learned scalar
+        follows the loss gradient DOWN — QUALITY.md r05 sharpen leg). The
+        projection is a dispatched device op (no host readback)."""
         from gens_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
         state, _ = init_train_state(model, cfg, jax.random.PRNGKey(0),
@@ -406,6 +416,17 @@ def main():
                 state, metrics = step_fn(state, inputs,
                                          jax.random.PRNGKey(step),
                                          anneal, use_match_features=False)
+            if var_ramp is not None:
+                import math
+
+                frac = (step + 1) / max(n_steps, 1)
+                inv_s_floor = var_ramp[0] * (var_ramp[1] / var_ramp[0]) ** frac
+                v_floor = math.log(inv_s_floor) / 10.0
+                state = state._replace(params={
+                    **state.params,
+                    "variance": jax.tree.map(
+                        lambda v: jnp.maximum(v, v_floor),
+                        state.params["variance"])})
             if step == start_step:
                 jax.block_until_ready(metrics["loss"])
                 t_compile = time.time() - t0
@@ -588,11 +609,13 @@ def main():
             init_params = ck["params"]
             print(f"warm start from {args.resume_from} "
                   f"(step {ck.get('step')})", flush=True)
+        ramp = (tuple(float(x) for x in args.inv_s_ramp.split(":"))
+                if args.inv_s_ramp else None)
         state, curve, msps, tc = run_training(
             model, cfg, batches, args.steps_b, "gen",
             init_params=init_params,
             inflight_path=f"runs/quality_gen_inflight_{args.dims}.ckpt",
-            save_every=args.inflight_every)
+            save_every=args.inflight_every, var_ramp=ramp)
         results["gen_curve"] = curve
         results["gen_ms_per_step"] = msps
         results["gen_compile_s"] = tc
